@@ -1,0 +1,734 @@
+// deepcabac.cpp — host-side entropy codec + quantizer for nnc_tpu.
+//
+// A from-scratch C++ implementation of the native codec surface the reference
+// pipeline gets from the external `deepCABAC` pybind11 module (reference call
+// sites: nnc_core/approximator/baseline.py:42-57,98 and
+// nnc_core/coder/baseline.py:5-59). It provides:
+//
+//   * A binary range coder (LZMA-style carry handling, 32-bit range) with
+//     adaptive two-window context models (VVC-flavoured probability update).
+//   * Tensor bin syntax: sig_flag / sign_flag / abs_level_greater_j unary
+//     chain (length = cabac_unary_length_minus1+1) / adaptive-Rice
+//     Exp-Golomb remainder in bypass.
+//   * quantLayer: uniform scalar quantization, or 8-state dependent
+//     quantization (DQ) solved by Viterbi trellis search (RD cost with
+//     lambda = lambda_scale * stepsize^2; lambda_scale=0 -> pure distortion).
+//   * dequantLayer: inverse, tracking the same 8-state machine.
+//   * Entry points: with scan_order>0 a 2D tensor is coded in independent
+//     block-rows (engine + contexts + DQ state reset per row-chunk) whose
+//     byte offsets are recorded, enabling parallel decode.
+//
+// Byte accounting is exact: the encoder's flush emits 5 trailing bytes and a
+// symmetric decoder consumes exactly the same number of stream bytes, so a
+// decoder can report precisely how many payload bytes a segment occupied
+// without explicit length fields.
+//
+// Exposed as a plain C API (bound from Python via ctypes; pybind11 is not
+// available in the build environment).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+// ----------------------------------------------------------------------------
+// QP math (must match nnc_tpu/core/common.py)
+// ----------------------------------------------------------------------------
+static inline double stepsize_from_qp(int qp, int qp_density) {
+  const int k = 1 << qp_density;
+  const int mul = k + (qp & (k - 1));
+  const int shift = qp >> qp_density;  // arithmetic shift
+  return (double)mul * std::ldexp(1.0, shift - qp_density);
+}
+
+// ----------------------------------------------------------------------------
+// Context model: two-window adaptive probability (15-bit), P(bin==1).
+// ----------------------------------------------------------------------------
+struct Ctx {
+  uint16_t a, b;  // fast (rate 4) and slow (rate 7) estimators
+  void init() { a = 1 << 14; b = 1 << 14; }
+  inline uint32_t prob() const { return ((uint32_t)a + (uint32_t)b) >> 1; }
+  inline void update(int bin) {
+    const int t = bin << 15;
+    a = (uint16_t)(a + ((t - (int)a) >> 4));
+    b = (uint16_t)(b + ((t - (int)b) >> 7));
+  }
+};
+
+static const uint32_t kTopValue = 1u << 24;
+
+// ----------------------------------------------------------------------------
+// Range encoder (LZMA-style shift-low carry handling)
+// ----------------------------------------------------------------------------
+struct RangeEncoder {
+  std::vector<uint8_t>* out = nullptr;
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint8_t cache = 0;
+  int64_t cache_size = 1;
+
+  void start(std::vector<uint8_t>* sink) {
+    out = sink;
+    low = 0;
+    range = 0xFFFFFFFFu;
+    cache = 0;
+    cache_size = 1;
+  }
+
+  inline void shift_low() {
+    if ((uint32_t)(low >> 32) != 0 || (uint32_t)low < 0xFF000000u) {
+      const uint8_t carry = (uint8_t)(low >> 32);
+      while (cache_size-- > 0) {
+        out->push_back((uint8_t)(cache + carry));
+        cache = 0xFF;
+      }
+      cache = (uint8_t)(low >> 24);
+      cache_size = 1;
+    } else {
+      cache_size++;
+    }
+    low = (uint32_t)low << 8;
+  }
+
+  inline void encode_bin(Ctx& ctx, int bin) {
+    const uint32_t p = ctx.prob();  // 15-bit P(bin==1), in [?,?]; clamp below
+    uint32_t p1 = p < 128 ? 128 : (p > 32640 ? 32640 : p);
+    const uint32_t bound = (range >> 15) * p1;
+    if (bin) {
+      range = bound;
+    } else {
+      low += bound;
+      range -= bound;
+    }
+    ctx.update(bin);
+    while (range < kTopValue) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+
+  inline void encode_bypass(int bin) {
+    range >>= 1;
+    if (bin) low += range;
+    while (range < kTopValue) {
+      range <<= 8;
+      shift_low();
+    }
+  }
+
+  void encode_bypass_bits(uint32_t value, int nbits) {
+    for (int i = nbits - 1; i >= 0; --i) encode_bypass((value >> i) & 1);
+  }
+
+  void flush() {
+    for (int i = 0; i < 5; ++i) shift_low();
+  }
+};
+
+// ----------------------------------------------------------------------------
+// Range decoder (symmetric byte consumption: 5 init bytes + one per norm)
+// ----------------------------------------------------------------------------
+struct RangeDecoder {
+  const uint8_t* buf = nullptr;
+  int64_t size = 0;
+  int64_t pos = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+
+  inline uint8_t next_byte() { return pos < size ? buf[pos++] : 0; }
+
+  void start(const uint8_t* data, int64_t n, int64_t offset) {
+    buf = data;
+    size = n;
+    pos = offset;
+    range = 0xFFFFFFFFu;
+    code = 0;
+    next_byte();  // first emitted byte is always 0
+    for (int i = 0; i < 4; ++i) code = (code << 8) | next_byte();
+  }
+
+  inline int decode_bin(Ctx& ctx) {
+    const uint32_t p = ctx.prob();
+    uint32_t p1 = p < 128 ? 128 : (p > 32640 ? 32640 : p);
+    const uint32_t bound = (range >> 15) * p1;
+    int bin;
+    if (code < bound) {
+      bin = 1;
+      range = bound;
+    } else {
+      bin = 0;
+      code -= bound;
+      range -= bound;
+    }
+    ctx.update(bin);
+    while (range < kTopValue) {
+      range <<= 8;
+      code = (code << 8) | next_byte();
+    }
+    return bin;
+  }
+
+  inline int decode_bypass() {
+    range >>= 1;
+    int bin;
+    if (code >= range) {
+      bin = 1;
+      code -= range;
+    } else {
+      bin = 0;
+    }
+    while (range < kTopValue) {
+      range <<= 8;
+      code = (code << 8) | next_byte();
+    }
+    return bin;
+  }
+
+  uint32_t decode_bypass_bits(int nbits) {
+    uint32_t v = 0;
+    for (int i = 0; i < nbits; ++i) v = (v << 1) | decode_bypass();
+    return v;
+  }
+};
+
+// ----------------------------------------------------------------------------
+// Dependent quantization: 8-state machine (3-bit state as used by the NNR
+// entry-point syntax; reference hls/__init__.py:136-148 stores dq_state in 3
+// bits). Transition on level parity; quantizer offset from bit 1 of state.
+// ----------------------------------------------------------------------------
+static const int kStateTrans[8][2] = {
+    {0, 2}, {5, 7}, {1, 3}, {6, 4}, {2, 0}, {7, 5}, {3, 1}, {4, 6}};
+static inline int q_offset(int state) { return (state >> 1) & 1; }
+
+// recon for |level| m>0 with quantizer offset o: (2m - o) * delta / 2
+static inline double recon_dq(int32_t level, int state, double delta) {
+  if (level == 0) return 0.0;
+  const double m = (double)std::llabs((long long)level);
+  const double v = (2.0 * m - (double)q_offset(state)) * delta * 0.5;
+  return level > 0 ? v : -v;
+}
+
+// ----------------------------------------------------------------------------
+// Tensor bin syntax contexts
+// ----------------------------------------------------------------------------
+struct TensorCtxs {
+  std::vector<Ctx> sig;   // dq: 8 (per state); no-dq: 2 (prev sig)
+  Ctx sign;
+  std::vector<Ctx> gt;    // abs_level_greater_j, j = 1..K
+  // adaptive Rice order state for remainders
+  uint64_t rem_sum = 0;
+  uint64_t rem_cnt = 0;
+
+  void init(int unary_len) {
+    sig.assign(10, Ctx());
+    for (auto& c : sig) c.init();
+    sign.init();
+    gt.assign((size_t)std::max(1, unary_len), Ctx());
+    for (auto& c : gt) c.init();
+    rem_sum = 0;
+    rem_cnt = 0;
+  }
+
+  inline int rice_order() const {
+    if (rem_cnt == 0) return 0;
+    const uint64_t avg = rem_sum / rem_cnt;
+    int g = 0;
+    while ((1ull << (g + 1)) <= avg + 1 && g < 24) ++g;
+    return g;
+  }
+  inline void rem_update(uint32_t r) {
+    rem_sum += r;
+    rem_cnt += 1;
+  }
+};
+
+// Exp-Golomb order-g, bypass coded.
+static void encode_eg(RangeEncoder& rc, uint32_t value, int g) {
+  uint32_t x = value;
+  int k = g;
+  while (x >= (1u << k)) {
+    rc.encode_bypass(0);
+    x -= 1u << k;
+    ++k;
+  }
+  rc.encode_bypass(1);
+  for (int i = k - 1; i >= 0; --i) rc.encode_bypass((x >> i) & 1);
+}
+
+static uint32_t decode_eg(RangeDecoder& rc, int g) {
+  uint32_t x = 0;
+  int k = g;
+  while (rc.decode_bypass() == 0) {
+    x += 1u << k;
+    ++k;
+  }
+  if (k > 0) x += rc.decode_bypass_bits(k);
+  return x;
+}
+
+// Encode a single quantized value.
+static inline void encode_value(RangeEncoder& rc, TensorCtxs& cx, int32_t q,
+                                int sig_ctx, int unary_len) {
+  rc.encode_bin(cx.sig[sig_ctx], q != 0);
+  if (q == 0) return;
+  rc.encode_bin(cx.sign, q < 0);
+  uint32_t m1 = (uint32_t)(std::llabs((long long)q) - 1);  // magnitude-1 >= 0
+  const int K = unary_len;
+  int j = 0;
+  for (; j < K; ++j) {
+    const int more = m1 > (uint32_t)j;
+    rc.encode_bin(cx.gt[j], more);
+    if (!more) break;
+  }
+  if (j == K) {
+    const uint32_t rem = m1 - (uint32_t)K;
+    encode_eg(rc, rem, cx.rice_order());
+    cx.rem_update(rem);
+  }
+}
+
+static inline int32_t decode_value(RangeDecoder& rc, TensorCtxs& cx,
+                                   int sig_ctx, int unary_len) {
+  if (!rc.decode_bin(cx.sig[sig_ctx])) return 0;
+  const int neg = rc.decode_bin(cx.sign);
+  uint32_t m1 = 0;
+  const int K = unary_len;
+  int j = 0;
+  for (; j < K; ++j) {
+    if (rc.decode_bin(cx.gt[j]))
+      m1 = (uint32_t)j + 1;
+    else
+      break;
+  }
+  if (j == K) {
+    const uint32_t rem = decode_eg(rc, cx.rice_order());
+    cx.rem_update(rem);
+    m1 = (uint32_t)K + rem;
+  }
+  const int64_t m = (int64_t)m1 + 1;
+  return (int32_t)(neg ? -m : m);
+}
+
+static inline int sig_ctx_of(int dq_flag, int state, int prev_sig) {
+  return dq_flag ? state : (8 + (prev_sig ? 1 : 0));
+}
+
+// Block-row height for scan_order s (>0): entry-point granularity.
+static inline int64_t block_row_height(int scan_order) {
+  return (int64_t)4 << scan_order;
+}
+
+// Number of independently coded chunks for an (h, w) tensor.
+static inline int64_t num_chunks(int64_t h, int64_t w, int scan_order) {
+  if (scan_order <= 0 || h <= 1 || w <= 1) return 1;
+  const int64_t bh = block_row_height(scan_order);
+  return (h + bh - 1) / bh;
+}
+
+// ----------------------------------------------------------------------------
+// Quantizers
+// ----------------------------------------------------------------------------
+
+// Uniform scalar quantization (round-to-nearest, half away from zero).
+static void quant_uniform(const float* x, int32_t* q, int64_t n, double delta) {
+  const double inv = 1.0 / delta;
+  for (int64_t i = 0; i < n; ++i) {
+    const double v = (double)x[i] * inv;
+    q[i] = (int32_t)(v >= 0 ? std::floor(v + 0.5) : -std::floor(-v + 0.5));
+  }
+}
+
+// Approximate rate (in bins) of coding level q — used only when lambda > 0.
+static inline double rate_est(int32_t q, int unary_len) {
+  if (q == 0) return 1.0;
+  const int64_t m1 = std::llabs((long long)q) - 1;
+  double r = 2.0;  // sig + sign
+  if (m1 < unary_len) {
+    r += (double)m1 + 1.0;
+  } else {
+    r += (double)unary_len;
+    const double rem = (double)(m1 - unary_len) + 1.0;
+    r += 2.0 * std::log2(rem + 1.0) + 1.0;
+  }
+  return r;
+}
+
+// 8-state trellis (Viterbi) dependent quantization of one chunk.
+// States reset to 0 at chunk start; returns nothing (q filled).
+static void quant_dq_chunk(const float* x, int32_t* q, int64_t n, double delta,
+                           double lambda, int unary_len) {
+  constexpr int S = 8;
+  const double kInf = 1e300;
+  std::vector<double> cost(S, kInf), ncost(S);
+  std::vector<int32_t> chosen((size_t)n * S);   // level chosen entering state s at step i
+  std::vector<uint8_t> pred((size_t)n * S);     // predecessor state
+  cost[0] = 0.0;
+
+  const double half = delta * 0.5;
+  for (int64_t i = 0; i < n; ++i) {
+    const double v = (double)x[i];
+    const double av = std::fabs(v);
+    const double sgn = v < 0 ? -1.0 : 1.0;
+    for (int s = 0; s < S; ++s) ncost[s] = kInf;
+    int32_t* ch = &chosen[(size_t)i * S];
+    uint8_t* pr = &pred[(size_t)i * S];
+
+    for (int s = 0; s < S; ++s) {
+      if (cost[s] >= kInf) continue;
+      const int o = q_offset(s);
+      // target magnitude on this state's grid: m* = (2|x|/delta + o) / 2
+      const double mstar = (av / delta) + 0.5 * (double)o;
+      // candidates: level 0 (parity 0), best even m>=2, best odd m>=1
+      int32_t cand[4];
+      int ncand = 0;
+      cand[ncand++] = 0;
+      {  // even magnitude >= 2
+        int64_t me = 2 * (int64_t)std::llround(mstar * 0.5);
+        if (me < 2) me = 2;
+        cand[ncand++] = (int32_t)me;
+        if (me - 2 >= 2) cand[ncand++] = (int32_t)(me - 2);
+      }
+      {  // odd magnitude >= 1
+        int64_t mo = 2 * (int64_t)std::llround((mstar - 1.0) * 0.5) + 1;
+        if (mo < 1) mo = 1;
+        cand[ncand++] = (int32_t)mo;
+      }
+      for (int c = 0; c < ncand; ++c) {
+        const int32_t m = cand[c];
+        const double rec = m == 0 ? 0.0 : (2.0 * (double)m - (double)o) * half;
+        const double d = av - rec;
+        double cc = cost[s] + d * d;
+        if (lambda > 0.0)
+          cc += lambda * rate_est(m, unary_len);
+        const int s2 = kStateTrans[s][m & 1];
+        if (cc < ncost[s2]) {
+          ncost[s2] = cc;
+          ch[s2] = (int32_t)(sgn < 0 ? -m : m);
+          pr[s2] = (uint8_t)s;
+        }
+      }
+    }
+    cost.swap(ncost);
+  }
+
+  // backtrack from the best final state
+  int best = 0;
+  for (int s = 1; s < S; ++s)
+    if (cost[s] < cost[best]) best = s;
+  for (int64_t i = n - 1; i >= 0; --i) {
+    q[i] = chosen[(size_t)i * S + best];
+    best = pred[(size_t)i * S + best];
+  }
+}
+
+// ----------------------------------------------------------------------------
+// Encoder / Decoder objects
+// ----------------------------------------------------------------------------
+struct Encoder {
+  std::vector<uint8_t> stream;
+  RangeEncoder rc;
+  TensorCtxs cx;
+  int unary_len = 11;          // cabac_unary_length_minus1 + 1
+  int param_opt = 0;
+  bool engine_open = false;
+  std::vector<uint64_t> entry_points;  // of the most recent encodeLayer
+
+  void init_ctx(int cabac_unary_length_minus1, int param_opt_flag) {
+    unary_len = cabac_unary_length_minus1 + 1;
+    param_opt = param_opt_flag;
+    cx.init(unary_len);
+  }
+
+  void ensure_open() {
+    if (!engine_open) {
+      rc.start(&stream);
+      engine_open = true;
+    }
+  }
+  void close_engine() {
+    if (engine_open) {
+      rc.flush();
+      engine_open = false;
+    }
+  }
+};
+
+struct Decoder {
+  std::vector<uint8_t> stream;
+  RangeDecoder rc;
+  TensorCtxs cx;
+  int unary_len = 11;
+  int64_t segment_start = 0;   // where the current engine run began
+  bool engine_open = false;
+  std::vector<uint64_t> entry_points;     // collected by decodeLayerAndCreateEPs
+  std::vector<uint64_t> set_eps;          // provided via setEntryPoints
+
+  void init_ctx(int cabac_unary_length_minus1) {
+    unary_len = cabac_unary_length_minus1 + 1;
+    cx.init(unary_len);
+  }
+  void ensure_open() {
+    if (!engine_open) {
+      rc.start(stream.data(), (int64_t)stream.size(), segment_start);
+      engine_open = true;
+    }
+  }
+  void close_engine() {
+    if (engine_open) {
+      segment_start = rc.pos;  // exact: decoder consumes same bytes as encoder wrote
+      engine_open = false;
+    }
+  }
+};
+
+// Encode one full int32 tensor as chunked segments.
+static void encode_layer_impl(Encoder& E, const int32_t* v, int64_t h,
+                              int64_t w, int dq_flag, int scan_order) {
+  const int64_t n = h * w;
+  const int64_t chunks = num_chunks(h, w, scan_order);
+  const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
+  const int64_t layer_start = (int64_t)E.stream.size();
+  E.entry_points.clear();
+
+  for (int64_t c = 0; c < chunks; ++c) {
+    if (c > 0) {
+      // independent chunk: record offset, reset engine + contexts
+      E.close_engine();
+      const uint64_t off = (uint64_t)((int64_t)E.stream.size() - layer_start);
+      E.entry_points.push_back((off << 11));  // value/dq_state fields unused (reset)
+      E.cx.init(E.unary_len);
+    }
+    E.ensure_open();
+    const int64_t r0 = c * bh;
+    const int64_t r1 = std::min(h, r0 + bh);
+    int state = 0;
+    int prev_sig = 0;
+    for (int64_t i = r0 * w; i < r1 * w; ++i) {
+      const int32_t q = v[i];
+      encode_value(E.rc, E.cx, q, sig_ctx_of(dq_flag, state, prev_sig),
+                   E.unary_len);
+      prev_sig = q != 0;
+      if (dq_flag) state = kStateTrans[state][(int)(std::llabs((long long)q) & 1)];
+    }
+    if (chunks > 1) E.close_engine();
+  }
+}
+
+static void decode_layer_impl(Decoder& D, int32_t* v, int64_t h, int64_t w,
+                              int dq_flag, int scan_order, bool create_eps) {
+  const int64_t chunks = num_chunks(h, w, scan_order);
+  const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
+  const int64_t layer_start = D.segment_start;
+  if (create_eps) D.entry_points.clear();
+
+  for (int64_t c = 0; c < chunks; ++c) {
+    if (c > 0) {
+      D.close_engine();
+      if (create_eps) {
+        const uint64_t off = (uint64_t)(D.segment_start - layer_start);
+        D.entry_points.push_back(off << 11);
+      }
+      D.cx.init(D.unary_len);
+    }
+    D.ensure_open();
+    const int64_t r0 = c * bh;
+    const int64_t r1 = std::min(h, r0 + bh);
+    int state = 0;
+    int prev_sig = 0;
+    for (int64_t i = r0 * w; i < r1 * w; ++i) {
+      const int32_t q = decode_value(D.rc, D.cx,
+                                     sig_ctx_of(dq_flag, state, prev_sig),
+                                     D.unary_len);
+      v[i] = q;
+      prev_sig = q != 0;
+      if (dq_flag) state = kStateTrans[state][(int)(std::llabs((long long)q) & 1)];
+    }
+    if (chunks > 1) D.close_engine();
+  }
+}
+
+}  // namespace
+
+// ============================================================================
+// C API
+// ============================================================================
+extern "C" {
+
+// ---- Encoder ----
+void* dc_enc_new() { return new Encoder(); }
+void dc_enc_delete(void* e) { delete (Encoder*)e; }
+
+void dc_enc_init_ctx(void* e, int cabac_unary_length_minus1, int param_opt_flag) {
+  ((Encoder*)e)->init_ctx(cabac_unary_length_minus1, param_opt_flag);
+}
+
+// RD(-ish) quantization of a layer. Returns the (possibly clipped) qp.
+int dc_quant_layer(const float* x, int32_t* out, int64_t h, int64_t w,
+                   int dq_flag, int qp_density, int qp, double lambda_scale,
+                   int cabac_unary_length_minus1, int scan_order) {
+  const int64_t n = h * w;
+  // int32 overflow guard: bump qp (coarser) until max level fits comfortably.
+  double maxabs = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    const double a = std::fabs((double)x[i]);
+    if (a > maxabs) maxabs = a;
+  }
+  double delta = stepsize_from_qp(qp, qp_density);
+  while (maxabs / delta * 2.0 + 2.0 > 2147483000.0) {
+    qp += 1;
+    delta = stepsize_from_qp(qp, qp_density);
+  }
+
+  if (!dq_flag) {
+    quant_uniform(x, out, n, delta);
+    return qp;
+  }
+  const double lambda =
+      lambda_scale > 0.0 ? lambda_scale * delta * delta : 0.0;
+  const int unary_len = cabac_unary_length_minus1 + 1;
+  const int64_t chunks = num_chunks(h, w, scan_order);
+  const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
+  for (int64_t c = 0; c < chunks; ++c) {
+    const int64_t r0 = c * bh;
+    const int64_t r1 = std::min(h, r0 + bh);
+    quant_dq_chunk(x + r0 * w, out + r0 * w, (r1 - r0) * w, delta, lambda,
+                   unary_len);
+  }
+  return qp;
+}
+
+void dc_enc_encode_layer(void* e, const int32_t* v, int64_t h, int64_t w,
+                         int dq_flag, int scan_order) {
+  Encoder& E = *(Encoder*)e;
+  E.ensure_open();
+  encode_layer_impl(E, v, h, w, dq_flag, scan_order);
+}
+
+// Signed fixed-width integer as bypass bins in the CABAC stream.
+void dc_enc_iae_v(void* e, int nbits, int32_t value) {
+  Encoder& E = *(Encoder*)e;
+  E.ensure_open();
+  uint32_t u = (uint32_t)value & ((nbits >= 32) ? 0xFFFFFFFFu
+                                                : ((1u << nbits) - 1u));
+  E.rc.encode_bypass_bits(u, nbits);
+}
+
+// Terminate the engine; returns total stream length. Buffer via dc_enc_data.
+int64_t dc_enc_finish(void* e) {
+  Encoder& E = *(Encoder*)e;
+  E.close_engine();
+  return (int64_t)E.stream.size();
+}
+
+const uint8_t* dc_enc_data(void* e) { return ((Encoder*)e)->stream.data(); }
+
+int64_t dc_enc_bytes_written(void* e) {
+  return (int64_t)((Encoder*)e)->stream.size();
+}
+
+// Terminate the current engine run (segment boundary) without finishing.
+void dc_enc_terminate_segment(void* e) { ((Encoder*)e)->close_engine(); }
+
+int dc_enc_num_entry_points(void* e) {
+  return (int)((Encoder*)e)->entry_points.size();
+}
+void dc_enc_get_entry_points(void* e, uint64_t* out) {
+  Encoder& E = *(Encoder*)e;
+  std::memcpy(out, E.entry_points.data(),
+              E.entry_points.size() * sizeof(uint64_t));
+}
+
+// ---- Decoder ----
+void* dc_dec_new() { return new Decoder(); }
+void dc_dec_delete(void* d) { delete (Decoder*)d; }
+
+void dc_dec_set_stream(void* d, const uint8_t* data, int64_t n) {
+  Decoder& D = *(Decoder*)d;
+  D.stream.assign(data, data + n);
+  D.segment_start = 0;
+  D.engine_open = false;
+}
+
+void dc_dec_init_ctx(void* d, int cabac_unary_length_minus1) {
+  ((Decoder*)d)->init_ctx(cabac_unary_length_minus1);
+}
+
+int32_t dc_dec_iae_v(void* d, int nbits) {
+  Decoder& D = *(Decoder*)d;
+  D.ensure_open();
+  uint32_t u = D.rc.decode_bypass_bits(nbits);
+  if (nbits < 32 && (u & (1u << (nbits - 1)))) u |= ~((1u << nbits) - 1u);
+  return (int32_t)u;
+}
+
+void dc_dec_decode_layer(void* d, int32_t* v, int64_t h, int64_t w,
+                         int dq_flag, int scan_order) {
+  Decoder& D = *(Decoder*)d;
+  D.ensure_open();
+  decode_layer_impl(D, v, h, w, dq_flag, scan_order, false);
+}
+
+void dc_dec_decode_layer_and_create_eps(void* d, int32_t* v, int64_t h,
+                                        int64_t w, int dq_flag,
+                                        int scan_order) {
+  Decoder& D = *(Decoder*)d;
+  D.ensure_open();
+  decode_layer_impl(D, v, h, w, dq_flag, scan_order, true);
+}
+
+int dc_dec_num_entry_points(void* d) {
+  return (int)((Decoder*)d)->entry_points.size();
+}
+void dc_dec_get_entry_points(void* d, uint64_t* out) {
+  Decoder& D = *(Decoder*)d;
+  std::memcpy(out, D.entry_points.data(),
+              D.entry_points.size() * sizeof(uint64_t));
+}
+void dc_dec_set_entry_points(void* d, const uint64_t* eps, int n) {
+  Decoder& D = *(Decoder*)d;
+  D.set_eps.assign(eps, eps + n);
+}
+
+// Terminate the current engine run; position advances exactly past the segment.
+void dc_dec_terminate_segment(void* d) { ((Decoder*)d)->close_engine(); }
+
+// Bytes consumed so far (exact; for unit-size verification).
+int64_t dc_dec_finish(void* d) {
+  Decoder& D = *(Decoder*)d;
+  D.close_engine();
+  return D.segment_start;
+}
+
+// Dequantize int32 levels -> float32. dq_flag selects dependent reconstruction
+// (8-state machine driven by decoded level parities, reset per block-row when
+// scan_order>0), matching dc_quant_layer.
+void dc_dequant_layer(float* out, const int32_t* v, int64_t h, int64_t w,
+                      int qp_density, int qp, int scan_order, int dq_flag) {
+  const double delta = stepsize_from_qp(qp, qp_density);
+  const int64_t n = h * w;
+  if (!dq_flag) {
+    for (int64_t i = 0; i < n; ++i) out[i] = (float)((double)v[i] * delta);
+    return;
+  }
+  const int64_t chunks = num_chunks(h, w, scan_order);
+  const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
+  for (int64_t c = 0; c < chunks; ++c) {
+    const int64_t r0 = c * bh;
+    const int64_t r1 = std::min(h, r0 + bh);
+    int state = 0;
+    for (int64_t i = r0 * w; i < r1 * w; ++i) {
+      out[i] = (float)recon_dq(v[i], state, delta);
+      state = kStateTrans[state][(int)(std::llabs((long long)v[i]) & 1)];
+    }
+  }
+}
+
+double dc_stepsize_from_qp(int qp, int qp_density) {
+  return stepsize_from_qp(qp, qp_density);
+}
+
+}  // extern "C"

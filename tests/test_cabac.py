@@ -1,0 +1,185 @@
+import numpy as np
+import pytest
+
+from nnc_tpu.coder import cabac
+from nnc_tpu.core import common
+
+
+def test_stepsize_matches_python():
+    for qp in range(-80, 40):
+        for d in (1, 2, 3):
+            assert cabac.stepsize_from_qp(qp, d) == pytest.approx(
+                common.get_stepsize_from_qp(qp, d), rel=1e-12)
+
+
+def encode_decode(values, dq_flag=0, scan_order=0, culm1=10):
+    enc = cabac.Encoder()
+    enc.initCtxModels(culm1, 0)
+    enc.encodeLayer(values, dq_flag, scan_order)
+    eps = enc.getEntryPoints()
+    payload = enc.finish()
+
+    dec = cabac.Decoder()
+    dec.setStream(payload.tobytes())
+    dec.initCtxModels(culm1)
+    out = np.zeros(values.shape, dtype=np.int32)
+    dec.decodeLayer(out, dq_flag, scan_order)
+    consumed = dec.finish()
+    return out, payload, eps, consumed
+
+
+@pytest.mark.parametrize("dq_flag", [0, 1])
+def test_encode_decode_roundtrip(dq_flag):
+    rng = np.random.default_rng(42)
+    values = rng.integers(-50, 50, size=(64, 32)).astype(np.int32)
+    out, payload, eps, consumed = encode_decode(values, dq_flag=dq_flag)
+    assert np.array_equal(out, values)
+    assert consumed == payload.size
+    assert eps.size == 0  # scan_order == 0 -> no entry points
+
+
+def test_roundtrip_sparse_and_large_values():
+    rng = np.random.default_rng(0)
+    values = np.zeros((100, 40), dtype=np.int32)
+    mask = rng.random(values.shape) < 0.05
+    values[mask] = rng.integers(-100000, 100000, size=mask.sum()).astype(np.int32)
+    out, payload, _, consumed = encode_decode(values)
+    assert np.array_equal(out, values)
+    assert consumed == payload.size
+
+
+def test_roundtrip_1d():
+    values = np.array([0, 1, -1, 5, -17, 0, 0, 123, -2], dtype=np.int32)
+    out, _, _, _ = encode_decode(values)
+    assert np.array_equal(out, values)
+
+
+def test_compression_beats_raw():
+    """Near-zero laplacian weights should compress well below 4 bytes/value."""
+    rng = np.random.default_rng(1)
+    values = np.round(rng.laplace(0, 2.0, size=(256, 256))).astype(np.int32)
+    _, payload, _, _ = encode_decode(values)
+    bpv = payload.size * 8 / values.size
+    assert bpv < 6.0  # entropy of Laplace(b=2) integers is ~3.4 bits
+
+
+def test_multiple_layers_one_stream():
+    """Several tensors + iae_v QP deltas share one NDU payload stream."""
+    rng = np.random.default_rng(7)
+    tensors = [rng.integers(-9, 9, size=s).astype(np.int32)
+               for s in [(16, 16), (32,), (8, 4, 4)]]
+    qps = [-38, -20, 3]
+    enc = cabac.Encoder()
+    for t, qp in zip(tensors, qps):
+        enc.initCtxModels(10, 0)
+        enc.iae_v(8, qp)
+        enc.encodeLayer(t, 1, 0)
+        enc.terminate_segment()
+    payload = enc.finish()
+
+    dec = cabac.Decoder()
+    dec.setStream(payload.tobytes())
+    for t, qp in zip(tensors, qps):
+        dec.initCtxModels(10)
+        assert dec.iae_v(8) == qp
+        out = np.zeros(t.shape, dtype=np.int32)
+        dec.decodeLayer(out, 1, 0)
+        dec.terminate_segment()
+        assert np.array_equal(out, t)
+    assert dec.finish() == payload.size
+
+
+@pytest.mark.parametrize("dq_flag", [0, 1])
+def test_quant_dequant_error_bound(dq_flag):
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 0.05, size=(64, 48)).astype(np.float32)
+    qp, qp_density = -30, 2
+    delta = cabac.stepsize_from_qp(qp, qp_density)
+
+    enc = cabac.Encoder()
+    enc.initCtxModels(10, 0)
+    q = np.zeros(x.shape, dtype=np.int32)
+    qp_out = enc.quantLayer(x, q, dq_flag, qp_density, qp, 0.0, 10, 0)
+    assert qp_out == qp
+
+    dec = cabac.Decoder()
+    rec = np.zeros(x.shape, dtype=np.float32)
+    dec.dequantLayer(rec, q, qp_density, qp_out, 0, dq_flag)
+    err = np.abs(rec - x)
+    # uniform: error <= delta/2. dq: the Viterbi path may accept locally
+    # larger error (up to ~delta) for globally lower distortion.
+    bound = delta / 2 if dq_flag == 0 else delta
+    assert err.max() <= bound + 1e-7
+
+
+def test_dq_beats_uniform_distortion():
+    """The trellis should (weakly) reduce MSE vs plain rounding at same qp."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 0.1, size=(128, 64)).astype(np.float32)
+    qp, qpd = -24, 2
+    mses = {}
+    for dq in (0, 1):
+        enc = cabac.Encoder()
+        enc.initCtxModels(10, 0)
+        q = np.zeros(x.shape, dtype=np.int32)
+        enc.quantLayer(x, q, dq, qpd, qp, 0.0, 10, 0)
+        dec = cabac.Decoder()
+        rec = np.zeros(x.shape, dtype=np.float32)
+        dec.dequantLayer(rec, q, qpd, qp, 0, dq)
+        mses[dq] = float(((rec - x) ** 2).mean())
+    # dq quantizes on a half-step grid -> distortion should drop noticeably
+    assert mses[1] < mses[0]
+
+
+def test_qp_clipping_on_overflow():
+    x = np.array([[1e9, -1e9], [0.5, 2.0]], dtype=np.float32)
+    enc = cabac.Encoder()
+    enc.initCtxModels(10, 0)
+    q = np.zeros(x.shape, dtype=np.int32)
+    qp_out = enc.quantLayer(x, q, 1, 2, -80, 0.0, 10, 0)
+    assert qp_out > -80  # clipped up to avoid int32 overflow
+    dec = cabac.Decoder()
+    rec = np.zeros(x.shape, dtype=np.float32)
+    dec.dequantLayer(rec, q, 2, qp_out, 0, 1)
+    delta = cabac.stepsize_from_qp(qp_out, 2)
+    assert np.abs(rec - x).max() <= delta  # coarse but faithful after clipping
+
+
+def test_entry_points_scan_order():
+    rng = np.random.default_rng(5)
+    values = rng.integers(-20, 20, size=(64, 32)).astype(np.int32)
+    scan_order = 1  # block-row height 8 -> 8 chunks -> 7 entry points
+    out, payload, eps, consumed = encode_decode(values, dq_flag=1,
+                                                scan_order=scan_order)
+    assert np.array_equal(out, values)
+    assert eps.size == 7
+    assert consumed == payload.size
+    # decode again collecting eps; they must match the encoder's
+    dec = cabac.Decoder()
+    dec.setStream(payload.tobytes())
+    dec.initCtxModels(10)
+    out2 = np.zeros(values.shape, dtype=np.int32)
+    eps2 = dec.decodeLayerAndCreateEPs(out2, 1, scan_order)
+    assert np.array_equal(out2, values)
+    assert np.array_equal(eps, eps2)
+    # entry points are byte offsets (<<11): chunk 3's segment can be decoded
+    # independently by seeking
+    offsets = [int(e) >> 11 for e in eps]
+    assert all(a < b for a, b in zip(offsets, offsets[1:]))
+
+
+def test_quant_dq_state_consistency_with_scan_order():
+    """quantLayer and dequantLayer must reset trellis state at the same
+    block-row boundaries when scan_order > 0."""
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 0.05, size=(40, 16)).astype(np.float32)
+    qp, qpd, so = -28, 2, 1
+    delta = cabac.stepsize_from_qp(qp, qpd)
+    enc = cabac.Encoder()
+    enc.initCtxModels(10, 0)
+    q = np.zeros(x.shape, dtype=np.int32)
+    enc.quantLayer(x, q, 1, qpd, qp, 0.0, 10, so)
+    dec = cabac.Decoder()
+    rec = np.zeros(x.shape, dtype=np.float32)
+    dec.dequantLayer(rec, q, qpd, qp, so, 1)
+    assert np.abs(rec - x).max() <= delta + 1e-7
