@@ -1,0 +1,450 @@
+"""NNR coder: serialize a quantized model into an NNR bitstream and back.
+
+Unit sequence: NNR_STR, NNR_MPS, [NNR_TPL], then one NNR_NDU per block (a
+layer's weight + bias/LSA/BN companions) or free-standing parameter.
+(reference flow: nnc_core/coder/__init__.py:100-148 encode, 620-673 decode;
+header compilation semantics: nnc_core/coder/syntax_compiler.py.)
+
+Differences from the reference (documented, self-consistent):
+  * The encoder obtains CABAC entry points directly from the native codec
+    instead of re-decoding each NDU (optional `verify` mode re-decodes).
+  * Each coded tensor's arithmetic-engine segment is byte-aligned, so NDUs
+    can be decoded tensor-parallel on host CPU workers.
+  * Codebook coding applies to weight tensors only; companions stay uniform.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import hls
+from ..hls import syntax
+from ..core import common
+from ..core.model import NNRModelAccess, NNRParamAccess
+from . import cabac
+
+_PT = hls.CompressedDataUnitPayloadType
+_CPT = hls.BlockParameterTypes
+
+
+def is_block_possible(block_access, approx_data):
+    """A block NDU is possible if all of its companion params are present
+    consistently. (reference: coder/__init__.py:11-38)"""
+    cpt = approx_data["compressed_parameter_types"].get(block_access.block_id)
+    if cpt is None:
+        return False
+    for _t, param, _d in block_access.param_generator(
+            approx_data["compressed_parameter_types"]):
+        if param not in approx_data["parameters"]:
+            return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Header compilation (field semantics per reference syntax_compiler.py)
+# ---------------------------------------------------------------------------
+def compile_start_unit(profile=0):
+    return {
+        "nnr_unit_type": hls.NnrUnitType.NNR_STR,
+        "partial_data_counter_present_flag": 0,
+        "partial_data_counter": 0,
+        "independently_decodable_flag": 1,
+        "general_profile_idc": profile,
+    }
+
+
+def compile_mps(approx_data, topology_present):
+    mps = {
+        "nnr_unit_type": hls.NnrUnitType.NNR_MPS,
+        "partial_data_counter_present_flag": 0,
+        "partial_data_counter": 0,
+        "independently_decodable_flag": 1,
+        "topology_carriage_flag": 1 if topology_present else 0,
+        "mps_sparsification_flag": 0,
+        "mps_pruning_flag": 0,
+        "mps_unification_flag": 0,
+        "mps_decomposition_performance_map_flag": 0,
+        "mps_topology_indexed_reference_flag": 0,
+    }
+    if "qp_density" in approx_data:
+        mps["mps_quantization_method_flags"] = \
+            hls.QuantizationMethodFlags.NNR_QSU
+        mps["mps_qp_density"] = int(approx_data["qp_density"])
+        mps["mps_quantization_parameter"] = 0
+    else:
+        mps["mps_quantization_method_flags"] = 0
+    return mps
+
+
+def compile_tpl(model_info):
+    return {
+        "nnr_unit_type": hls.NnrUnitType.NNR_TPL,
+        "partial_data_counter_present_flag": 0,
+        "partial_data_counter": 0,
+        "independently_decodable_flag": 1,
+        "topology_data": "",
+        "topology_storage_format": int(model_info["topology_storage_format"]),
+        "topology_compression_format":
+            int(model_info["topology_compression_format"]),
+    }
+
+
+def _coded_tensors(block_or_param, approx_data):
+    """Payload-ordered [(par_type, name, dims)] of the unit's coded tensors."""
+    return list(block_or_param.param_generator(
+        approx_data["compressed_parameter_types"]))
+
+
+def compile_ndu(param, approx_data, enc_info, model_info, is_block, cpt,
+                block_access, tensor_dims):
+    h = {
+        "nnr_unit_type": hls.NnrUnitType.NNR_NDU,
+        "partial_data_counter_present_flag": 0,
+        "partial_data_counter": 0,
+        "independently_decodable_flag": 1,
+        "input_parameters_present_flag": 1,
+        "tensor_dimensions_flag": 1,
+        "cabac_unary_length_flag": 1,
+        "count_tensor_dimensions": len(tensor_dims),
+        "tensor_dimensions": list(tensor_dims),
+        "cabac_unary_length_minus1": enc_info["cabac_unary_length_minus1"],
+        "mps_topology_indexed_reference_flag": 0,
+        "nnr_decompressed_data_format_present_flag": 0,
+        "nnr_decompressed_data_format": hls.DecompressedDataFormat.TENSOR_FLOAT32,
+    }
+
+    method = approx_data["approx_method"].get(param)
+    if is_block:
+        h["nnr_compressed_data_unit_payload_type"] = _PT.NNR_PT_BLOCK
+        h["compressed_parameter_types"] = int(cpt)
+        if cpt & _CPT.NNR_CPT_DC:
+            h["decomposition_rank"] = \
+                approx_data["decomposition_rank"][block_access.block_id]
+            h["g_number_of_rows"] = \
+                approx_data["g_number_of_rows"][block_access.block_id]
+            param = block_access.dc_g
+        else:
+            param = block_access.w
+        method = approx_data["approx_method"][param]
+    elif method in ("uniform", "codebook"):
+        h["nnr_compressed_data_unit_payload_type"] = _PT.NNR_PT_FLOAT
+        h["compressed_parameter_types"] = 0
+    elif method == "skip":
+        h["nnr_compressed_data_unit_payload_type"] = _PT.NNR_PT_INT
+        h["compressed_parameter_types"] = 0
+    else:
+        h["nnr_compressed_data_unit_payload_type"] = _PT.NNR_PT_RAW_FLOAT
+        h["compressed_parameter_types"] = 0
+        h["raw_float32_parameter"] = approx_data["parameters"][param]
+
+    pt = h["nnr_compressed_data_unit_payload_type"]
+    if pt in (_PT.NNR_PT_BLOCK, _PT.NNR_PT_FLOAT, _PT.NNR_PT_INT):
+        # The header's dq flag describes the uniform-coded tensors of the
+        # unit; codebook-indexed tensors always code with dq=0.
+        if method == "codebook" and is_block:
+            companions = [p for t, p, _ in
+                          _coded_tensors(block_access, approx_data)
+                          if p != param and not p.endswith("_H")]
+            h["dq_flag"] = int(approx_data["dq_flag"][companions[0]]) \
+                if companions else 0
+        elif method == "codebook":
+            h["dq_flag"] = 0
+        else:
+            h["dq_flag"] = int(approx_data["dq_flag"][param])
+
+    h["nnr_multiple_topology_elements_present_flag"] = \
+        1 if pt == _PT.NNR_PT_BLOCK else 0
+    if pt == _PT.NNR_PT_BLOCK:
+        ids = list(block_access.topology_elem_generator(
+            approx_data["compressed_parameter_types"]))
+        h["count_topology_elements_minus2"] = len(ids) - 2
+        h["topology_elem_id_list"] = ids
+    else:
+        h["topology_elem_id"] = param
+
+    if method == "codebook":
+        h["codebook_present_flag"] = 1
+        h["codebook_egk__"] = approx_data["codebooks_egk"][param]
+        h["codebook_size__"] = len(approx_data["codebooks"][param])
+        h["CbZeroOffset__"] = approx_data["codebook_zero_offsets"][param]
+        h["codebook__"] = approx_data["codebooks"][param]
+        if is_block and (cpt & _CPT.NNR_CPT_DC):
+            ph = block_access.dc_h
+            assert approx_data["approx_method"][ph] == "codebook"
+            h["codebook_egk__dc"] = approx_data["codebooks_egk"][ph]
+            h["codebook_size__dc"] = len(approx_data["codebooks"][ph])
+            h["CbZeroOffset__dc"] = approx_data["codebook_zero_offsets"][ph]
+            h["codebook__dc"] = approx_data["codebooks"][ph]
+    else:
+        h["codebook_present_flag"] = 0
+
+    if len(tensor_dims) > 1:
+        h["scan_order"] = int(approx_data["scan_order"].get(param, 0))
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+def _encode_ndu_payload(block_or_param, approx_data, enc_info, mps_qp):
+    """CABAC-encode all coded tensors of one NDU; returns (payload bytes,
+    [(eps, dq)] for >=2-D tensors)."""
+    culm1 = enc_info["cabac_unary_length_minus1"]
+    param_opt = enc_info.get("param_opt_flag", 0)
+    qp_density = int(approx_data["qp_density"])
+    enc = cabac.Encoder()
+    ep_lists = []
+    for _ptype, param, _dims in _coded_tensors(block_or_param, approx_data):
+        values = approx_data["parameters"][param]
+        method = approx_data["approx_method"][param]
+        scan = int(approx_data["scan_order"].get(param, 0))
+        dq = 0 if method in ("codebook", "skip") else \
+            int(approx_data["dq_flag"][param])
+        enc.initCtxModels(culm1, param_opt)
+        if method in ("uniform", "codebook"):
+            qp_delta = int(approx_data["qp"][param]) - mps_qp
+            enc.iae_v(6 + qp_density, qp_delta)
+        enc.encodeLayer(values, dq, scan)
+        if values.ndim > 1 and scan > 0:
+            ep_lists.append((enc.getEntryPoints(), dq))
+        enc.terminate_segment()
+    return enc.finish().tobytes(), ep_lists
+
+
+def encode(enc_info, model_info, approx_data):
+    """Serialize model_info + approx_data into a full NNR bitstream.
+    (reference: coder/__init__.py:100-148)"""
+    bitstream = bytearray()
+    topology_present = model_info["topology_storage_format"] is not None
+    mps = compile_mps(approx_data, topology_present)
+    mps_qp = mps.get("mps_quantization_parameter", 0)
+
+    bitstream += syntax.encode_unit(compile_start_unit(0))
+    bitstream += syntax.encode_unit(mps)
+    if topology_present:
+        bitstream += syntax.encode_unit(compile_tpl(model_info))
+
+    model_access = NNRModelAccess(model_info)
+    for block_or_param in model_access.blocks_and_params():
+        is_block = block_or_param.block_id is not None
+        if is_block:
+            cpt = approx_data["compressed_parameter_types"][
+                block_or_param.block_id]
+            w = block_or_param.w
+            dims = model_info["parameter_dimensions"][w]
+            h = compile_ndu(None, approx_data, enc_info, model_info, True,
+                            cpt, block_or_param, dims)
+        else:
+            param = block_or_param.param
+            dims = approx_data["parameters"][param].shape
+            h = compile_ndu(param, approx_data, enc_info, model_info, False,
+                            0, None, dims)
+
+        if h["nnr_compressed_data_unit_payload_type"] == _PT.NNR_PT_RAW_FLOAT:
+            bitstream += syntax.encode_unit(h)
+            continue
+
+        payload, ep_lists = _encode_ndu_payload(block_or_param, approx_data,
+                                                enc_info, mps_qp)
+        if ep_lists:
+            h["cabac_entry_point_lists"] = ep_lists
+        bitstream += syntax.encode_unit(h, payload)
+    return bitstream
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+def _block_names_from_topology(ids, cpt):
+    """Invert topology_elem_generator ordering -> named roles."""
+    it = iter(ids)
+    names = {}
+    if cpt & _CPT.NNR_CPT_DC:
+        names["dc_g"] = next(it)
+        names["dc_h"] = next(it)
+        names["w"] = names["dc_g"][:-2]
+    else:
+        names["w"] = next(it)
+    if cpt & _CPT.NNR_CPT_LS:
+        names["ls"] = next(it)
+    if cpt & _CPT.NNR_CPT_BN:
+        names["bn_beta"] = next(it)
+        names["bn_gamma"] = next(it)
+        names["bn_mean"] = next(it)
+        names["bn_var"] = next(it)
+    if cpt & _CPT.NNR_CPT_BI:
+        names["bi"] = next(it)
+    return names
+
+
+def _decode_ndu(h, payload, approx_data, model_info, next_index):
+    """Decode one NDU's tensors into approx_data/model_info. Returns the
+    number of parameter indices consumed."""
+    pt = h["nnr_compressed_data_unit_payload_type"]
+    qp_density = int(approx_data["qp_density"])
+    mps_qp = approx_data.get("_mps_qp", 0)
+    culm1 = int(h.get("cabac_unary_length_minus1", 10))
+    dims = tuple(h.get("tensor_dimensions", ()))
+    scan = int(h.get("scan_order", 0))
+    used = 0
+
+    def register(name, ptype, shape, bid=None):
+        nonlocal used
+        model_info["parameter_type"][name] = ptype
+        model_info["parameter_dimensions"][name] = tuple(shape)
+        model_info["parameter_index"][name] = next_index + used
+        if bid is not None:
+            model_info["block_identifier"][name] = bid
+        used += 1
+
+    if pt == _PT.NNR_PT_RAW_FLOAT:
+        name = h["topology_elem_id"]
+        approx_data["parameters"][name] = h["raw_float32_parameter"]
+        register(name, "unspecified" if len(dims) <= 1 else "weight", dims)
+        return used
+
+    dec = cabac.Decoder()
+    dec.setStream(payload)
+
+    # (name, par_type, dims, method, codebook_suffix)
+    plan = []
+    if pt == _PT.NNR_PT_BLOCK:
+        cpt = int(h["compressed_parameter_types"])
+        names = _block_names_from_topology(h["topology_elem_id_list"], cpt)
+        bid = names["w"]
+        w_method = "codebook" if h.get("codebook_present_flag") else "uniform"
+        n0 = dims[0]
+        # payload order must match param_generator: ls, bi, bn*, w/G/H
+        if cpt & _CPT.NNR_CPT_LS:
+            plan.append((names["ls"], "weight.ls", (n0,), "uniform", None))
+        if cpt & _CPT.NNR_CPT_BI:
+            plan.append((names["bi"], "bias", (n0,), "uniform", None))
+        if cpt & _CPT.NNR_CPT_BN:
+            for role, t in (("bn_beta", "bn.beta"), ("bn_gamma", "bn.gamma"),
+                            ("bn_mean", "bn.mean"), ("bn_var", "bn.var")):
+                plan.append((names[role], t, (n0,), "uniform", None))
+        if cpt & _CPT.NNR_CPT_DC:
+            rank = int(h["decomposition_rank"])
+            g_rows = int(h["g_number_of_rows"])
+            g_dims = (g_rows, rank)
+            h_dims = (rank, int(np.prod(dims)) // g_rows)
+            plan.append((names["dc_g"], "weight", g_dims, w_method, ""))
+            plan.append((names["dc_h"], "weight", h_dims, w_method, "dc"))
+        else:
+            plan.append((names["w"], "weight", dims, w_method, ""))
+        approx_data["compressed_parameter_types"][bid] = cpt
+        if cpt & _CPT.NNR_CPT_DC:
+            approx_data["decomposition_rank"][bid] = int(
+                h["decomposition_rank"])
+            approx_data["g_number_of_rows"][bid] = int(h["g_number_of_rows"])
+        # register indices in canonical (weight, bias, ls, bn, G/H) order so a
+        # reconstructed state dict keeps framework-native ordering
+        reg_order = []
+        if cpt & _CPT.NNR_CPT_DC:
+            reg_order += [(names["dc_g"], "weight", g_dims),
+                          (names["dc_h"], "weight", h_dims)]
+        else:
+            reg_order += [(names["w"], "weight", dims)]
+        if cpt & _CPT.NNR_CPT_BI:
+            reg_order += [(names["bi"], "bias", (n0,))]
+        if cpt & _CPT.NNR_CPT_LS:
+            reg_order += [(names["ls"], "weight.ls", (n0,))]
+        if cpt & _CPT.NNR_CPT_BN:
+            reg_order += [(names[r], t, (n0,)) for r, t in
+                          (("bn_beta", "bn.beta"), ("bn_gamma", "bn.gamma"),
+                           ("bn_mean", "bn.mean"), ("bn_var", "bn.var"))]
+        for name, t, s in reg_order:
+            register(name, t, s, bid)
+    else:
+        name = h["topology_elem_id"]
+        method = ("skip" if pt == _PT.NNR_PT_INT else
+                  ("codebook" if h.get("codebook_present_flag") else
+                   "uniform"))
+        ptype = "weight" if len(dims) > 1 else "unspecified"
+        plan.append((name, ptype, dims, method, ""))
+        register(name, ptype, dims)
+
+    hdr_dq = int(h.get("dq_flag", 0))
+    for name, _ptype, shape, method, cb_suffix in plan:
+        dq = 0 if method in ("codebook", "skip") else hdr_dq
+        dec.initCtxModels(culm1)
+        if method in ("uniform", "codebook"):
+            qp_delta = dec.iae_v(6 + qp_density)
+            approx_data["qp"][name] = np.int32(mps_qp + qp_delta)
+        out = np.zeros(shape, dtype=np.int32)
+        tensor_scan = scan if len(shape) > 1 else 0
+        dec.decodeLayer(out, dq, tensor_scan)
+        dec.terminate_segment()
+        approx_data["parameters"][name] = out
+        approx_data["approx_method"][name] = method
+        approx_data["dq_flag"][name] = dq
+        if len(shape) > 1:
+            approx_data["scan_order"][name] = np.int32(tensor_scan)
+        if method == "codebook":
+            approx_data["codebooks"][name] = np.asarray(
+                h["codebook__" + cb_suffix], dtype=np.int32)
+            approx_data["codebooks_egk"][name] = int(
+                h["codebook_egk__" + cb_suffix])
+            approx_data["codebook_zero_offsets"][name] = int(
+                h["CbZeroOffset__" + cb_suffix])
+    consumed = dec.finish()
+    assert consumed == len(payload), (
+        f"NDU payload size mismatch: consumed {consumed} of {len(payload)}")
+    return used
+
+
+def decode(bitstream, model_info=None):
+    """Parse a full NNR bitstream. Returns (model_info, approx_data).
+    (reference: coder/__init__.py:620-673)"""
+    if model_info is None:
+        model_info = {}
+    model_info.setdefault("parameter_type", {})
+    model_info.setdefault("parameter_dimensions", {})
+    model_info.setdefault("parameter_index", {})
+    model_info.setdefault("block_identifier", {})
+    model_info.setdefault("topology_storage_format", None)
+    model_info.setdefault("topology_compression_format", None)
+
+    approx_data = {
+        "approx_method": {},
+        "qp": {},
+        "dq_flag": {},
+        "decomposition_rank": {},
+        "g_number_of_rows": {},
+        "scan_order": {},
+        "parameters": {},
+        "compressed_parameter_types": {},
+        "codebooks": {},
+        "codebooks_egk": {},
+        "codebook_zero_offsets": {},
+    }
+
+    data = bytes(bitstream)
+    r = hls.BitReader(data)
+    first = True
+    next_index = 0
+    while r.byte_pos < len(data):
+        h, payload_start, unit_end = syntax.decode_unit_header(r)
+        utype = h["nnr_unit_type"]
+        if first:
+            assert utype == hls.NnrUnitType.NNR_STR, \
+                "bitstream must start with NNR_STR"
+            first = False
+        if utype == hls.NnrUnitType.NNR_MPS:
+            if h["mps_quantization_method_flags"] & \
+                    hls.QuantizationMethodFlags.NNR_QSU:
+                approx_data["qp_density"] = np.int32(h["mps_qp_density"])
+                approx_data["_mps_qp"] = int(
+                    h.get("mps_quantization_parameter", 0))
+        elif utype == hls.NnrUnitType.NNR_TPL:
+            model_info["topology_storage_format"] = \
+                hls.TopologyStorageFormat(h["topology_storage_format"])
+            model_info["topology_compression_format"] = \
+                hls.TopologyCompressionFormat(h["topology_compression_format"])
+        elif utype == hls.NnrUnitType.NNR_NDU:
+            payload = data[payload_start:unit_end]
+            next_index += _decode_ndu(h, payload, approx_data, model_info,
+                                      next_index)
+        r = hls.BitReader(data, unit_end)
+
+    approx_data.pop("_mps_qp", None)
+    return model_info, approx_data

@@ -1,0 +1,699 @@
+"""Approximator: per-tensor quantization orchestration and model transforms.
+
+Maintains the ``approx_data`` dict through the codec pipeline:
+
+.. code-block:: python
+
+    approx_data = {
+        "approx_method": {param: "uniform"|"codebook"|"skip"},
+        "qp_density": np.int32,
+        "qp": {param: int},
+        "dq_flag": {param: 0|1},
+        "decomposition_rank": {block_id: int},
+        "g_number_of_rows": {block_id: int},
+        "scan_order": {param: int},          # only for ndim > 1
+        "parameters": {param: np.ndarray},   # float32 or int32 (quantized)
+        "compressed_parameter_types": {block_id: int},
+        "codebooks": {param: np.ndarray},
+        "codebooks_egk": {param: int},
+        "codebook_zero_offsets": {param: int},
+    }
+
+Stage semantics follow the reference approximator
+(reference: nnc_core/approximator/__init__.py:46-913, baseline.py, codebook.py,
+integer.py); the quantizer/entropy backend is the native codec in
+``nnc_tpu.coder.cabac``.
+"""
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from .. import hls
+from ..coder import cabac
+from . import common
+from .model import (NNRBlockAccess, NNRModelAccess, O_TYPES, W_TYPES,
+                    add_lsa_to_block_id_and_param_type)
+
+
+def del_param(approx_data, approx_info, param):
+    del approx_data["parameters"][param]
+    approx_data["scan_order"].pop(param, None)
+    approx_info.get("qp", {}).pop(param, None)
+    approx_info.get("dq_flag", {}).pop(param, None)
+
+
+def init_approx_data(parameters, model_info, qp_density, scan_order):
+    """Build a fresh approx_data for a parameter dict.
+    (reference: approximator/__init__.py:46-114)"""
+    approx_data = {
+        "approx_method": {},
+        "qp_density": np.int32(qp_density),
+        "qp": {},
+        "dq_flag": {},
+        "decomposition_rank": {},
+        "g_number_of_rows": {},
+        "scan_order": {},
+        "parameters": copy.copy(parameters),
+        "compressed_parameter_types": {},
+        "codebooks": {},
+        "codebooks_egk": {},
+        "codebook_zero_offsets": {},
+    }
+
+    for x in parameters:
+        assert (x.endswith("_G") or x.endswith("_H")) == \
+               (("_G" in x) or ("_H" in x)), x
+        base = x[:-2] if (x.endswith("_G") or x.endswith("_H")) else x
+        if len(model_info["parameter_dimensions"][base]) > 1:
+            approx_data["scan_order"][x] = np.int32(scan_order)
+
+    for block_id in model_info["block_identifier"].values():
+        if block_id is None:
+            continue
+        block_access = NNRBlockAccess(model_info, block_id)
+        cpt = 0
+        if block_access.bn_gamma:
+            cpt += hls.BlockParameterTypes.NNR_CPT_BN
+        if block_access.bi in approx_data["parameters"]:
+            cpt += hls.BlockParameterTypes.NNR_CPT_BI
+        if block_access.dc_g in approx_data["parameters"]:
+            cpt += hls.BlockParameterTypes.NNR_CPT_DC
+            g = approx_data["parameters"][block_access.dc_g]
+            approx_data["decomposition_rank"][block_id] = g.shape[1]
+            approx_data["g_number_of_rows"][block_id] = g.shape[0]
+        if block_access.ls in approx_data["parameters"]:
+            cpt += hls.BlockParameterTypes.NNR_CPT_LS
+        approx_data["compressed_parameter_types"][block_id] = cpt
+
+    return approx_data
+
+
+# ---------------------------------------------------------------------------
+# BN folding / unfolding
+# ---------------------------------------------------------------------------
+def fold_bn(model_info, approx_data, ap_info):
+    """Fold batch-norm tensors into the block's LSA scale (alpha) and bias
+    (delta): g = gamma / sqrt(var + eps); alpha *= g;
+    delta = (delta - mean) * g + beta. (reference: approximator:117-201)"""
+    model_access = NNRModelAccess(model_info)
+    for block_access in model_access.blocks_and_params():
+        block_id = block_access.block_id
+        if block_id is None:
+            continue
+        cpt = approx_data["compressed_parameter_types"][block_id]
+        ad = approx_data["parameters"]
+        assert not approx_data["approx_method"]
+        eps = (1e-3 if model_info["topology_storage_format"] ==
+               hls.TopologyStorageFormat.NNR_TPL_TEF else 1e-5)
+
+        if cpt & hls.BlockParameterTypes.NNR_CPT_BN == 0:
+            continue
+        delta = block_access.bi
+        bn_shape = ad[block_access.bn_mean].shape
+        dq_flag = ap_info.approx_info["dq_flag"][block_access.bn_mean]
+
+        assert (cpt & hls.BlockParameterTypes.NNR_CPT_BI == 0) == \
+               (delta not in ad)
+        if cpt & hls.BlockParameterTypes.NNR_CPT_BI == 0:
+            ad[delta] = np.zeros(bn_shape, dtype=np.float32)
+            approx_data["compressed_parameter_types"][block_id] += \
+                hls.BlockParameterTypes.NNR_CPT_BI
+            if ap_info.approx_info["approx_method"] == "uniform":
+                ap_info.approx_info["qp"][delta] = ap_info.qp_other
+                ap_info.approx_info["dq_flag"][delta] = dq_flag
+
+        alpha = block_access.ls
+        assert (cpt & hls.BlockParameterTypes.NNR_CPT_LS == 0) == \
+               (alpha not in ad)
+        if cpt & hls.BlockParameterTypes.NNR_CPT_LS == 0:
+            ad[alpha] = np.ones(bn_shape, dtype=np.float32)
+            approx_data["compressed_parameter_types"][block_id] += \
+                hls.BlockParameterTypes.NNR_CPT_LS
+            if ap_info.approx_info["approx_method"] == "uniform":
+                ap_info.approx_info["qp"][alpha] = ap_info.qp_lsa
+                ap_info.approx_info["dq_flag"][alpha] = dq_flag
+
+        g = ad[block_access.bn_gamma] / np.sqrt(ad[block_access.bn_var] + eps)
+        del_param(approx_data, ap_info.approx_info, block_access.bn_gamma)
+        del_param(approx_data, ap_info.approx_info, block_access.bn_var)
+        ad[alpha] = ad[alpha] * g
+        ad[delta] = (ad[delta] - ad[block_access.bn_mean]) * g + \
+            ad[block_access.bn_beta]
+        del_param(approx_data, ap_info.approx_info, block_access.bn_mean)
+        del_param(approx_data, ap_info.approx_info, block_access.bn_beta)
+        approx_data["compressed_parameter_types"][block_id] -= \
+            hls.BlockParameterTypes.NNR_CPT_BN
+
+
+def unfold_bn(model_info, approx_data):
+    """Restore identity BN tensors after decode of a BN-folded model.
+    (reference: approximator:204-253)"""
+    model_access = NNRModelAccess(model_info)
+    for block_access in model_access.blocks_and_params():
+        block_id = block_access.block_id
+        if block_id is None:
+            continue
+        bn_absent = approx_data["compressed_parameter_types"][block_id] & \
+            hls.BlockParameterTypes.NNR_CPT_BN == 0
+        bn_folded = bn_absent and \
+            (block_access.bn_gamma in model_info["parameter_type"])
+        if not bn_folded:
+            continue
+        approx_data["compressed_parameter_types"][block_id] += \
+            hls.BlockParameterTypes.NNR_CPT_BN
+        delta = block_access.bi
+        dims = approx_data["parameters"][delta].shape
+        if delta not in model_info["parameter_type"]:
+            assert approx_data["compressed_parameter_types"][block_id] & \
+                hls.BlockParameterTypes.NNR_CPT_BI != 0
+            approx_data["parameters"][block_access.bn_beta] = \
+                approx_data["parameters"][delta]
+            del approx_data["parameters"][delta]
+            approx_data["compressed_parameter_types"][block_id] -= \
+                hls.BlockParameterTypes.NNR_CPT_BI
+        else:
+            approx_data["parameters"][block_access.bn_beta] = \
+                np.zeros(dims, dtype=np.float32)
+        approx_data["parameters"][block_access.bn_mean] = \
+            np.zeros(dims, dtype=np.float32)
+        approx_data["parameters"][block_access.bn_gamma] = \
+            np.ones(dims, dtype=np.float32)
+        approx_data["parameters"][block_access.bn_var] = \
+            np.ones(dims, dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# LSA
+# ---------------------------------------------------------------------------
+def set_lsa(model_info, approx_data, lsa_params):
+    """Inject tuned LSA scale vectors into approx_data.
+    (reference: approximator:255-274)"""
+    for k, v in lsa_params.items():
+        approx_data["parameters"][k] = np.asarray(v, dtype=np.float32).reshape(
+            [np.asarray(v).shape[0]])
+        bid = model_info["block_identifier"].get(k)
+        if bid is not None:
+            approx_data["compressed_parameter_types"][bid] |= \
+                hls.BlockParameterTypes.NNR_CPT_LS
+
+
+def apply_lsa(model_info, approx_data):
+    """Bake LSA scales into the weights after decode: w *= ls.reshape(-1,1..).
+    (reference: approximator:276-318)"""
+    assert not approx_data["approx_method"]
+    model_access = NNRModelAccess(model_info)
+    for block_access in model_access.blocks_and_params():
+        block_id = block_access.block_id
+        if block_id is None:
+            continue
+        cpt = approx_data["compressed_parameter_types"][block_id]
+        if cpt & hls.BlockParameterTypes.NNR_CPT_LS == 0:
+            continue
+        ls = approx_data["parameters"].pop(block_access.ls)
+        model_info["parameter_index"].pop(block_access.ls, None)
+        model_info["block_identifier"].pop(block_access.ls, None)
+        if cpt & hls.BlockParameterTypes.NNR_CPT_DC:
+            w = approx_data["parameters"][block_access.dc_g]
+        else:
+            w = approx_data["parameters"][block_access.w]
+        dims_ls = [-1] + [1] * (w.ndim - 1)
+        w *= ls.reshape(dims_ls)
+        approx_data["compressed_parameter_types"][block_id] -= \
+            hls.BlockParameterTypes.NNR_CPT_LS
+
+
+def recompose_params(model_info, approx_data_in):
+    """Recompose low-rank (G·H) weights and re-sort parameters by index.
+    (reference: approximator:320-384)"""
+    assert not approx_data_in["approx_method"]
+    approx_data_out = {k: copy.copy(v) for k, v in approx_data_in.items()}
+    model_access = NNRModelAccess(model_info)
+    for block_access in model_access.blocks_and_params():
+        block_id = block_access.block_id
+        if block_id is None:
+            continue
+        cpt = approx_data_out["compressed_parameter_types"][block_id]
+        if cpt & hls.BlockParameterTypes.NNR_CPT_DC == 0:
+            continue
+        g = approx_data_out["parameters"].pop(block_access.dc_g)
+        h = approx_data_out["parameters"].pop(block_access.dc_h)
+        w = g.dot(h).reshape(model_info["parameter_dimensions"][block_access.w])
+        approx_data_out["parameters"][block_access.w] = w
+        approx_data_out["compressed_parameter_types"][block_id] -= \
+            hls.BlockParameterTypes.NNR_CPT_DC
+        model_info["parameter_index"][block_access.w] = \
+            model_info["parameter_index"].pop(block_access.dc_g)
+        del model_info["block_identifier"][block_access.dc_g]
+        model_info["parameter_index"].pop(block_access.dc_h, None)
+        model_info["block_identifier"].pop(block_access.dc_h, None)
+
+    order = sorted(model_info["parameter_index"],
+                   key=model_info["parameter_index"].get)
+    approx_data_out["parameters"] = {
+        p: approx_data_out["parameters"][p] for p in order}
+    return approx_data_out
+
+
+# ---------------------------------------------------------------------------
+# Quantization methods
+# ---------------------------------------------------------------------------
+def _iter_to_approximate(approx_info, model_info, approx_data):
+    """Yield (par_type, param) pairs eligible for approximation."""
+    model_access = NNRModelAccess(model_info)
+    for block_or_param in model_access.blocks_and_params():
+        for par_type, param, _ in block_or_param.param_generator(
+                approx_data["compressed_parameter_types"]):
+            if (par_type in approx_info["to_approximate"]) and \
+                    (param not in approx_data["approx_method"]):
+                yield par_type, param
+
+
+def _quant_one(approx_info, approx_data, param, dq_flag, qp):
+    """Quantize one tensor, returning (int32 values, final qp)."""
+    encoder = cabac.Encoder()
+    encoder.initCtxModels(approx_info["cabac_unary_length_minus1"], 0)
+    x = approx_data["parameters"][param]
+    q = np.zeros(x.shape, dtype=np.int32)
+    qp_out = encoder.quantLayer(
+        x, q, dq_flag, int(approx_data["qp_density"]), int(qp),
+        approx_info["lambda_scale"], approx_info["cabac_unary_length_minus1"],
+        int(approx_data["scan_order"].get(param, 0)))
+    return q, qp_out
+
+
+def uniform_approx(approx_info, model_info, approx_data_in, verbose=True):
+    """Uniform (optionally dependent) scalar quantization of all eligible
+    tensors. (reference: approximator/baseline.py:10-71)"""
+    approx_data_out = {k: copy.copy(v) for k, v in approx_data_in.items()}
+    for _par_type, param in _iter_to_approximate(approx_info, model_info,
+                                                 approx_data_in):
+        enc_qp = int(approx_info["qp"][param])
+        dq_flag = int(approx_info["dq_flag"][param])
+        q, qp = _quant_one(approx_info, approx_data_in, param, dq_flag, enc_qp)
+        if qp != enc_qp and verbose:
+            print(f"INFO: QP for {param} has been clipped from {enc_qp} to "
+                  f"{qp} to avoid int32_t overflow!")
+        approx_data_out["qp"][param] = qp
+        approx_data_out["parameters"][param] = q
+        approx_data_out["approx_method"][param] = "uniform"
+        approx_data_out["dq_flag"][param] = dq_flag
+    return approx_data_out
+
+
+def uniform_rec(param, approx_data):
+    """Dequantize one uniform-coded tensor in place.
+    (reference: approximator/baseline.py:73-101)"""
+    values = approx_data["parameters"][param]
+    assert values.dtype == np.int32
+    out = np.zeros(values.shape, dtype=np.float32)
+    decoder = cabac.Decoder()
+    decoder.dequantLayer(out, values, int(approx_data["qp_density"]),
+                         int(approx_data["qp"][param]),
+                         int(approx_data["scan_order"].get(param, 0)),
+                         int(approx_data["dq_flag"].get(param, 0)))
+    approx_data["parameters"][param] = out
+    del approx_data["approx_method"][param]
+
+
+def skip_approx(approx_info, model_info, approx_data_in):
+    """int32 tensors pass through unquantized ('skip').
+    (reference: approximator/integer.py:11-42)"""
+    approx_data_out = {k: copy.copy(v) for k, v in approx_data_in.items()}
+    for _par_type, param in _iter_to_approximate(approx_info, model_info,
+                                                 approx_data_in):
+        if approx_data_in["parameters"][param].dtype == np.int32:
+            approx_data_out["approx_method"][param] = "skip"
+            approx_data_out["dq_flag"][param] = 0
+    return approx_data_out
+
+
+def skip_rec(param, approx_data):
+    assert approx_data["parameters"][param].dtype == np.int32
+    del approx_data["approx_method"][param]
+
+
+# --- codebook method -------------------------------------------------------
+def derive_sorted_codebook_from_tensor(tensor):
+    """(reference: codebook.py:14-39)"""
+    codebook, indices = np.unique(tensor, return_inverse=True)
+    return codebook, indices.reshape(tensor.shape).astype(np.int32)
+
+
+def _encoded_size(values, dq_flag, scan_order, culm1, param_opt=0):
+    enc = cabac.Encoder()
+    enc.initCtxModels(culm1, param_opt)
+    enc.encodeLayer(values, dq_flag, scan_order)
+    return enc.finish().size
+
+
+def get_codebook_offset(codebook, indices, cabac_unary_length_minus1):
+    """Brute-force the codebook offset minimizing CABAC-coded index size.
+    (reference: codebook.py:41-95)"""
+    codebook_offset = 0
+    if indices.dtype == np.int32:
+        min_bits = None
+        for cb in range(len(codebook)):
+            bits = _encoded_size(indices - cb, 0, 0,
+                                 cabac_unary_length_minus1, 1)
+            if min_bits is None or bits < min_bits:
+                min_bits = bits
+                codebook_offset = cb
+    return codebook, indices - codebook_offset, codebook_offset
+
+
+def get_codebook_bytes(codebook, codebook_offset, egk):
+    """Bits (rounded up to bytes via bit count) of the HLS-coded codebook."""
+    buf = bytearray()
+    w = hls.BitWriter(buf)
+    w.ue(2, egk)
+    w.ue(8, len(codebook))
+    w.cb_zero_offset(len(codebook), codebook_offset)
+    w.codebook(egk, len(codebook), codebook_offset, codebook)
+    return (w.get_num_bits_touched() + 7) // 8
+
+
+def get_best_egk(codebook, codebook_offset):
+    """Search Exp-Golomb order 0..15 minimizing codebook size.
+    (reference: codebook.py:97-137)"""
+    best_egk, min_bytes = 0, None
+    for egk in range(16):
+        nbytes = get_codebook_bytes(codebook, codebook_offset, egk)
+        if min_bytes is None or nbytes < min_bytes:
+            min_bytes, best_egk = nbytes, egk
+    return best_egk, min_bytes
+
+
+def codebook_approx(approx_info, model_info, approx_data_in, param_opt=0,
+                    verbose=True):
+    """Codebook quantization: uniform-quantize (no DQ), unique values form the
+    codebook, indices entropy-coded. mode 1 = always codebook; mode 2 = RD
+    choice vs uniform. (reference: codebook.py:172-325)"""
+    approx_data_out = {k: copy.copy(v) for k, v in approx_data_in.items()}
+    culm1 = approx_info["cabac_unary_length_minus1"]
+    for par_type, param in _iter_to_approximate(approx_info, model_info,
+                                                approx_data_in):
+        if par_type not in W_TYPES:
+            # codebook coding is scoped to weight tensors; companions stay
+            # uniform (divergence from reference, see module docstring).
+            continue
+        qp_off = 0
+        if approx_info["dq_flag"][param] == 1:
+            qp_off = common.compute_qp_offset_to_dq_equivalent(
+                int(approx_data_out["qp_density"]))
+            if verbose:
+                print("INFO: Dependent quantization (DQ) cannot be used with "
+                      f"'codebook'. QP changed by {-qp_off} for similar "
+                      "performance.")
+        enc_qp = int(approx_info["qp"][param]) - qp_off
+        q, qp = _quant_one(approx_info, approx_data_in, param, 0, enc_qp)
+        if qp != enc_qp and verbose:
+            print(f"INFO: QP for {param} clipped from {enc_qp} to {qp}!")
+        approx_data_out["qp"][param] = qp
+
+        codebook, indexes = derive_sorted_codebook_from_tensor(q)
+        codebook, indexes, cb_offset = get_codebook_offset(codebook, indexes,
+                                                           culm1)
+        egk, _ = get_best_egk(codebook, cb_offset)
+
+        def _select_codebook():
+            approx_data_out["parameters"][param] = indexes
+            approx_data_out["codebooks"][param] = codebook
+            approx_data_out["approx_method"][param] = "codebook"
+            approx_data_out["dq_flag"][param] = 0
+            approx_data_out["codebook_zero_offsets"][param] = cb_offset
+            approx_data_out["codebooks_egk"][param] = egk
+
+        if approx_info["codebook_mode"] == 1:
+            _select_codebook()
+        elif approx_info["codebook_mode"] == 2:
+            dq_flag = int(approx_info["dq_flag"][param])
+            q_uni, qp_uni = q, qp
+            if dq_flag == 1:  # re-quantize with DQ at the original qp
+                q_uni, qp_uni = _quant_one(approx_info, approx_data_in, param,
+                                           1, int(approx_info["qp"][param]))
+            so = int(approx_data_in["scan_order"].get(param, 0))
+            bytes_uni = _encoded_size(q_uni, dq_flag, so, culm1, param_opt)
+            bytes_cb = _encoded_size(indexes, 0, so, culm1, param_opt) + \
+                get_codebook_bytes(codebook, cb_offset, egk)
+            if bytes_cb < bytes_uni:
+                _select_codebook()
+            else:
+                approx_data_out["qp"][param] = qp_uni
+                approx_data_out["parameters"][param] = q_uni
+                approx_data_out["approx_method"][param] = "uniform"
+                approx_data_out["dq_flag"][param] = dq_flag
+    return approx_data_out, approx_info
+
+
+def codebook_rec(param, approx_data):
+    """(reference: codebook.py:328-363)"""
+    assert approx_data["parameters"][param].dtype == np.int32
+    cb = approx_data["codebooks"][param] * common.get_stepsize_from_qp(
+        int(approx_data["qp"][param]), int(approx_data["qp_density"]))
+    offset = approx_data["codebook_zero_offsets"][param]
+    approx_data["parameters"][param] = np.float32(
+        cb[approx_data["parameters"][param] + offset])
+    del approx_data["approx_method"][param]
+    del approx_data["codebooks"][param]
+    del approx_data["codebook_zero_offsets"][param]
+    del approx_data["codebooks_egk"][param]
+    del approx_data["qp"][param]
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+def approx(approx_info, model_info, approx_data, param_opt=0, verbose=True):
+    """Quantize all eligible tensors with the configured method.
+    (reference: approximator:690-701)"""
+    approx_data = skip_approx(approx_info, model_info, approx_data)
+    if approx_info["approx_method"] == "codebook":
+        approx_data, approx_info = codebook_approx(
+            approx_info, model_info, approx_data, param_opt, verbose=verbose)
+    return uniform_approx(approx_info, model_info, approx_data,
+                          verbose=verbose)
+
+
+def rec(approx_data):
+    """Dequantize all quantized tensors in place.
+    (reference: approximator:704-721)"""
+    for param in list(approx_data["parameters"]):
+        method = approx_data["approx_method"].get(param)
+        if method == "uniform":
+            uniform_rec(param, approx_data)
+        elif method == "codebook":
+            codebook_rec(param, approx_data)
+        elif method == "skip":
+            skip_rec(param, approx_data)
+        else:
+            assert method is None, f"unknown approx_method {method}"
+
+
+# ---------------------------------------------------------------------------
+# LSA / FT orchestration
+# ---------------------------------------------------------------------------
+def run_ft_and_lsa(model_info, approx_data, ap_info, model_executer,
+                   block_id_and_param_type, lsa_flag, ft_flag, use_dq,
+                   verbose, bitstream_path):
+    """Quantize -> dequantize -> tune (LSA scales and/or fine-tuned params
+    against the dequantized weights) -> inject results into approx_data.
+    (reference: approximator:603-687)"""
+    approx_info_ft = copy.deepcopy(ap_info.approx_info)
+    if not lsa_flag:
+        approx_info_ft["to_approximate"] = list(W_TYPES)
+    else:
+        approx_info_ft["to_approximate"] = [
+            t for t in approx_info_ft["to_approximate"] if t != "weight.ls"]
+
+    approx_data_ft = approx(approx_info_ft, model_info, approx_data,
+                            verbose=verbose)
+    rec(approx_data_ft)
+
+    tuned = model_executer.tune_model(
+        bitstream_path=bitstream_path,
+        parameters=approx_data_ft["parameters"],
+        param_types=model_info["parameter_type"],
+        lsa_flag=lsa_flag,
+        ft_flag=ft_flag,
+        verbose=verbose,
+    )
+    lsa_params, ft_params = tuned
+
+    if ft_flag:
+        approx_data["parameters"].update(ft_params)
+    if lsa_flag:
+        if block_id_and_param_type:
+            set_lsa(model_info, approx_data, lsa_params)
+            add_lsa_to_block_id_and_param_type(block_id_and_param_type,
+                                               lsa_params)
+        else:
+            approx_data["parameters"].update(lsa_params)
+        ap_info.set_ls_qps(model_info, approx_data, 1 if use_dq else 0)
+
+
+def inference_based_qp_opt(approx_info, model_info, model_executer,
+                           approx_data, param_opt, cabac_unary_length_minus1,
+                           verbose=True, acc_drop_threshold=0.01):
+    """Inference-optimised QP: probe each tensor at qp and qp-(1<<qp_density),
+    keep the cheaper QP whose eval accuracy stays within the threshold of the
+    all-fine baseline. A simplified, capability-compatible version of the
+    reference's IOQ loop (reference: approximator:387-600)."""
+    qp_density = int(approx_data["qp_density"])
+    base_info = copy.deepcopy(approx_info)
+
+    # Baseline accuracy with current QPs
+    ad_q = approx(base_info, model_info, approx_data, param_opt,
+                  verbose=verbose)
+    ad_rec = copy.deepcopy(ad_q)
+    rec(ad_rec)
+    base_acc = model_executer.eval_model(ad_rec["parameters"],
+                                         verbose=verbose)
+    base_acc = base_acc[0] if isinstance(base_acc, (tuple, list)) else base_acc
+    if verbose:
+        print(f"\tIOQ: baseline accuracy {base_acc}")
+
+    for param in list(approx_info["qp"].keys()):
+        ptype = model_info["parameter_type"].get(
+            param[:-2] if (param.endswith("_G") or param.endswith("_H"))
+            else param)
+        if ptype not in W_TYPES:
+            continue
+        trial = copy.deepcopy(base_info)
+        trial["qp"][param] = int(trial["qp"][param]) + (1 << qp_density)
+        ad_t = approx(trial, model_info, approx_data, param_opt,
+                      verbose=False)
+        ad_tr = copy.deepcopy(ad_t)
+        rec(ad_tr)
+        acc = model_executer.eval_model(ad_tr["parameters"], verbose=False)
+        acc = acc[0] if isinstance(acc, (tuple, list)) else acc
+        if acc >= base_acc - acc_drop_threshold:
+            approx_info["qp"][param] = trial["qp"][param]
+            if verbose:
+                print(f"\tIOQ: {param} qp -> {trial['qp'][param]} "
+                      f"(acc {acc})")
+
+
+class ApproxInfo:
+    """Per-tensor QP / dq_flag assignment. (reference: approximator:724-913)"""
+
+    def __init__(self, approx_data, model_info, approx_method, codebook_mode,
+                 qp, opt_qp, disable_dq, cabac_unary_length_minus1,
+                 lambda_scale, nonweight_qp=None, qp_per_tensor=None):
+        self._approx_info = {
+            "approx_method": "codebook" if codebook_mode > 0 else approx_method,
+            "codebook_mode": codebook_mode,
+            "dq_flag": {x: 0 if disable_dq else 1
+                        for x in approx_data["parameters"]},
+            "lambda_scale": lambda_scale,
+            "cabac_unary_length_minus1": cabac_unary_length_minus1,
+            "to_approximate": W_TYPES + O_TYPES,
+        }
+        self._qp_other = None
+        self._qp_lsa = None
+
+        if approx_method in ("uniform", "codebook"):
+            qp = int(np.int32(qp))
+            qp_density = int(approx_data["qp_density"])
+            self._qp_other = nonweight_qp if nonweight_qp else \
+                qp - (2 << qp_density)
+            self._qp_lsa = nonweight_qp if nonweight_qp else \
+                qp - (2 << qp_density)
+            self._approx_info["qp"] = {}
+            for x in approx_data["parameters"]:
+                if x not in model_info["parameter_index"] and \
+                        (x.endswith("_G") or x.endswith("_H")):
+                    assert model_info["parameter_type"][x[:-2]] in W_TYPES
+                    self._approx_info["qp"][x] = qp
+                else:
+                    self._approx_info["qp"][x] = (
+                        qp if model_info["parameter_type"][x] in W_TYPES
+                        else self._qp_other)
+            if qp_per_tensor is not None:
+                assert isinstance(qp_per_tensor, dict)
+                for x in approx_data["parameters"]:
+                    self._approx_info["qp"][x] = qp_per_tensor.get(
+                        x, self._approx_info["qp"][x])
+            if opt_qp:
+                self._modify_qp(approx_data, model_info)
+
+    @property
+    def qp_lsa(self):
+        return self._qp_lsa
+
+    @property
+    def qp_other(self):
+        return self._qp_other
+
+    @property
+    def approx_info(self):
+        return self._approx_info
+
+    def apply_qp(self, approx_data, model_info, qp, nonweight_qp=None):
+        qp = int(np.int32(qp))
+        qp_density = int(approx_data["qp_density"])
+        self._qp_other = nonweight_qp if nonweight_qp else \
+            qp - (2 << qp_density)
+        self._qp_lsa = nonweight_qp if nonweight_qp else \
+            qp - (2 << qp_density)
+        self._approx_info["qp"] = {}
+        for x in approx_data["parameters"]:
+            if x not in model_info["parameter_index"] and \
+                    (x.endswith("_G") or x.endswith("_H")):
+                self._approx_info["qp"][x] = qp
+            else:
+                self._approx_info["qp"][x] = (
+                    qp if model_info["parameter_type"][x] in W_TYPES
+                    else self._qp_other)
+
+    def _modify_qp(self, approx_data, model_info):
+        """opt_qp: scale each weight tensor's QP by its relative size and
+        (inverse) std share. (reference: approximator:832-893)"""
+        param_names, param_sizes, param_std = [], [], []
+        for k, v in approx_data["parameters"].items():
+            base = k[:-2] if (k.endswith("_G") or k.endswith("_H")) else k
+            if model_info["parameter_type"][base] not in ["weight"]:
+                continue
+            if k.endswith("_G"):
+                continue
+            if k.endswith("_H"):
+                g = approx_data["parameters"][base + "_G"]
+                h = approx_data["parameters"][base + "_H"]
+                s = int(np.prod(g.shape[:-1]) * h.shape[-1])
+                param_names.append(base + "_G")
+                param_sizes.append(0)
+                param_std.append(0)
+                param_names.append(base + "_H")
+                param_sizes.append(s)
+                param_std.append(float(np.std(
+                    np.concatenate((g.flatten(), h.flatten())))))
+            else:
+                param_names.append(k)
+                param_sizes.append(v.size)
+                param_std.append(float(np.std(v)))
+
+        if not param_names:
+            return
+        rel_sizes = np.array(param_sizes) / max(1, sum(param_sizes))
+        rel_std = np.array(param_std) / max(param_std)
+        shares = rel_sizes + 0.1 * (1 - rel_std)
+        w = dict(zip(param_names, shares))
+        for name in param_names:
+            qp = self._approx_info["qp"][name]
+            if w[name] > 0.5:
+                w[name] = 0.15
+            self._approx_info["qp"][name] = np.int32(round(qp * (1 - w[name])))
+            if name.endswith("_H"):
+                self._approx_info["qp"][name[:-2] + "_G"] = \
+                    self._approx_info["qp"][name]
+
+    def set_ls_qps(self, model_info, approx_data, dq_flag):
+        for block_access in NNRModelAccess(model_info).blocks_and_params():
+            if block_access.block_id is None:
+                continue
+            cpt = approx_data["compressed_parameter_types"][
+                block_access.block_id]
+            if cpt & hls.BlockParameterTypes.NNR_CPT_LS:
+                self._approx_info["qp"][block_access.ls] = self._qp_lsa
+                self._approx_info["dq_flag"][block_access.ls] = dq_flag

@@ -1,0 +1,165 @@
+import numpy as np
+import pytest
+
+from nnc_tpu import coder, hls
+from nnc_tpu.core import approximator, common, model as nnr_model
+
+
+def make_mlp_dict(rng, layers=3, width=16, in_dim=8):
+    """A small MLP state dict (torch-like naming/layout)."""
+    d = {}
+    last = in_dim
+    for i in range(layers):
+        d[f"net.{i}.weight"] = rng.normal(0, 0.05, (width, last)).astype(np.float32)
+        d[f"net.{i}.bias"] = rng.normal(0, 0.01, (width,)).astype(np.float32)
+        last = width
+    return d
+
+
+def make_block_map(param_dict):
+    bid, ptype = {}, {}
+    for name in param_dict:
+        base = name.rsplit(".", 1)[0]
+        if name.endswith(".weight"):
+            bid[name] = base
+            ptype[name] = "weight"
+        elif name.endswith(".bias"):
+            bid[name] = base
+            ptype[name] = "bias"
+        elif name.endswith("weight_scaling"):
+            bid[name] = base
+            ptype[name] = "weight.ls"
+    return {"block_identifier": bid, "parameter_type": ptype}
+
+
+def compress_params(param_dict, qp=-32, qp_density=2, use_dq=True,
+                    scan_order=0, codebook_mode=0, block_map=None,
+                    lsa_params=None):
+    nnc_mdl = nnr_model.NNRModel(param_dict)
+    params = nnc_mdl.init_model_from_dict(param_dict)
+    model_info = nnc_mdl.model_info
+    model_info["topology_storage_format"] = hls.TopologyStorageFormat.NNR_TPL_PYT
+    if block_map:
+        nnr_model.set_block_id_and_param_type(model_info, block_map)
+
+    approx_data = approximator.init_approx_data(params, model_info, qp_density,
+                                                scan_order)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", codebook_mode, qp, False,
+        not use_dq, 10, 0.0)
+    if lsa_params:
+        approximator.set_lsa(model_info, approx_data, lsa_params)
+        ap_info.set_ls_qps(model_info, approx_data, 1 if use_dq else 0)
+
+    approx_data_enc = approximator.approx(ap_info.approx_info, model_info,
+                                          approx_data, verbose=False)
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    bitstream = coder.encode(enc_info, model_info, approx_data_enc)
+    return bitstream, model_info, approx_data_enc
+
+
+@pytest.mark.parametrize("use_dq", [False, True])
+@pytest.mark.parametrize("with_blocks", [False, True])
+def test_roundtrip_uniform(use_dq, with_blocks):
+    rng = np.random.default_rng(0)
+    d = make_mlp_dict(rng)
+    block_map = make_block_map(d) if with_blocks else None
+    qp, qpd = -30, 2
+    bitstream, model_info, ad_enc = compress_params(
+        d, qp=qp, qp_density=qpd, use_dq=use_dq, block_map=block_map)
+
+    dec_info, ad_dec = coder.decode(bitstream)
+    assert set(ad_dec["parameters"].keys()) == set(d.keys())
+    # decoded int32 levels match the encoder's exactly
+    for name in d:
+        assert np.array_equal(ad_dec["parameters"][name],
+                              ad_enc["parameters"][name]), name
+        assert int(ad_dec["qp"][name]) == int(ad_enc["qp"][name])
+
+    approximator.rec(ad_dec)
+    delta_w = common.get_stepsize_from_qp(qp, qpd)
+    for name in d:
+        err = np.abs(ad_dec["parameters"][name] - d[name])
+        is_weight = dec_info["parameter_type"][name] == "weight"
+        bound = delta_w if is_weight else common.get_stepsize_from_qp(
+            qp - (2 << qpd), qpd)
+        assert err.max() <= bound + 1e-7, name
+
+
+def test_roundtrip_preserves_order_and_dims():
+    rng = np.random.default_rng(1)
+    d = make_mlp_dict(rng)
+    bitstream, _, _ = compress_params(d, block_map=make_block_map(d))
+    dec_info, ad_dec = coder.decode(bitstream)
+    approximator.rec(ad_dec)
+    ad_final = approximator.recompose_params(dec_info, ad_dec)
+    assert list(ad_final["parameters"].keys()) == list(d.keys())
+    for name in d:
+        assert ad_final["parameters"][name].shape == d[name].shape
+
+
+def test_roundtrip_with_lsa_scales():
+    rng = np.random.default_rng(2)
+    d = make_mlp_dict(rng)
+    lsa = {f"net.{i}.weight_scaling":
+           (1 + rng.normal(0, 0.01, (16,))).astype(np.float32)
+           for i in range(3)}
+    d.update(lsa)  # scales live in the parameter dict from the start
+    block_map = make_block_map(d)
+
+    bitstream, model_info, _ = compress_params(d, block_map=block_map,
+                                               lsa_params=lsa)
+    dec_info, ad_dec = coder.decode(bitstream)
+    ls_names = [n for n in ad_dec["parameters"] if n.endswith("_scaling")]
+    assert len(ls_names) == 3
+    approximator.rec(ad_dec)
+    # apply_lsa folds scales into weights and drops the ls params
+    approximator.apply_lsa(dec_info, ad_dec)
+    assert not any(n.endswith("_scaling") for n in ad_dec["parameters"])
+    for i in range(3):
+        w = ad_dec["parameters"][f"net.{i}.weight"]
+        expect = d[f"net.{i}.weight"] * lsa[f"net.{i}.weight_scaling"][:, None]
+        assert np.abs(w - expect).max() < 0.02
+
+
+def test_roundtrip_scan_order_entry_points():
+    rng = np.random.default_rng(3)
+    d = {"w": rng.normal(0, 0.05, (64, 32)).astype(np.float32)}
+    bitstream, _, ad_enc = compress_params(d, scan_order=1)
+    dec_info, ad_dec = coder.decode(bitstream)
+    assert np.array_equal(ad_dec["parameters"]["w"], ad_enc["parameters"]["w"])
+    assert int(ad_dec["scan_order"]["w"]) == 1
+
+
+def test_roundtrip_codebook_mode1():
+    rng = np.random.default_rng(4)
+    d = make_mlp_dict(rng, layers=2, width=8, in_dim=4)
+    bitstream, _, ad_enc = compress_params(d, qp=-20, codebook_mode=1,
+                                           block_map=make_block_map(d))
+    dec_info, ad_dec = coder.decode(bitstream)
+    # weights decoded via codebook
+    assert ad_dec["approx_method"]["net.0.weight"] == "codebook"
+    approximator.rec(ad_dec)
+    delta = common.get_stepsize_from_qp(-20 - 4, 2)  # dq-equivalent offset
+    for i in range(2):
+        err = np.abs(ad_dec["parameters"][f"net.{i}.weight"] -
+                     d[f"net.{i}.weight"])
+        assert err.max() <= delta / 2 + 1e-7
+
+
+def test_roundtrip_int_skip():
+    d = {"counts": np.arange(-5, 5, dtype=np.int32),
+         "w": np.random.default_rng(5).normal(0, 0.1, (8, 8)).astype(np.float32)}
+    bitstream, _, _ = compress_params(d)
+    dec_info, ad_dec = coder.decode(bitstream)
+    assert ad_dec["approx_method"]["counts"] == "skip"
+    approximator.rec(ad_dec)
+    assert np.array_equal(ad_dec["parameters"]["counts"], d["counts"])
+
+
+def test_compression_ratio_reasonable():
+    rng = np.random.default_rng(6)
+    d = make_mlp_dict(rng, layers=4, width=64, in_dim=64)
+    raw = sum(v.nbytes for v in d.values())
+    bitstream, _, _ = compress_params(d, qp=-24, block_map=make_block_map(d))
+    assert len(bitstream) < raw / 3  # should compress far below fp32
