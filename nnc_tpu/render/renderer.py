@@ -1,0 +1,138 @@
+"""Hierarchical NeRF renderer: one jitted function per ray chunk.
+
+The whole per-ray pipeline (stratified sampling -> posenc -> coarse MLP ->
+compositing -> inverse-CDF resampling -> fine MLP -> compositing) traces into
+a single XLA program with static shapes; chunking over rays replaces the
+reference's python-loop batchify (reference: run_nerf.py:31-78, 348-457).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import nerf
+from ..ops.posenc import positional_encoding
+from ..ops.sampling import sample_pdf, stratified_samples
+from .volume import raw2outputs
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    mlp: nerf.NeRFConfig = dataclasses.field(default_factory=nerf.NeRFConfig)
+    n_samples: int = 64
+    n_importance: int = 128
+    multires: int = 10
+    multires_views: int = 4
+    perturb: bool = True
+    white_bkgd: bool = False
+    raw_noise_std: float = 0.0
+    lindisp: bool = False
+    chunk: int = 1024 * 32
+    use_fused_mlp: bool = False  # Pallas fused inference kernel (TPU)
+
+
+def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig):
+    """posenc + MLP over (R, S, 3) points. Returns raw (R, S, 4)."""
+    pts_emb = positional_encoding(pts, rc.multires)
+    views_emb = None
+    if rc.mlp.use_viewdirs:
+        vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+        views_emb = positional_encoding(vd, rc.multires_views)
+    if rc.use_fused_mlp:
+        from ..ops.mlp_pallas import fused_nerf_mlp
+        return fused_nerf_mlp(params, ls, pts_emb, views_emb, rc.mlp)
+    return nerf.apply_mlp(params, pts_emb, views_emb, rc.mlp, ls=ls)
+
+
+def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
+                near, far, key, rc: RenderConfig,
+                deterministic: bool = False):
+    """Render a batch of rays. rays_o/d: (R, 3); near/far scalar or (R, 1).
+
+    Returns dict with rgb_map/disp_map/acc_map (+ rgb0/disp0/acc0/z_std when
+    n_importance > 0).
+    """
+    n_rays = rays_o.shape[0]
+    k_strat, k_pdf, k_noise0, k_noise1 = jax.random.split(key, 4)
+    perturb = rc.perturb and not deterministic
+
+    z_vals = stratified_samples(k_strat, near, far, rc.n_samples, n_rays,
+                                perturb, rc.lindisp)
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw = _query_mlp(params, ls, pts, viewdirs, rc)
+    out = raw2outputs(raw, z_vals, rays_d, rc.raw_noise_std, rc.white_bkgd,
+                      noise_key=None if deterministic else k_noise0)
+
+    ret = {}
+    if rc.n_importance > 0:
+        ret["rgb0"] = out["rgb_map"]
+        ret["disp0"] = out["disp_map"]
+        ret["acc0"] = out["acc_map"]
+
+        z_mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(k_pdf, z_mids, out["weights"][..., 1:-1],
+                               rc.n_importance, det=not perturb)
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
+        pts = rays_o[..., None, :] + \
+            rays_d[..., None, :] * z_all[..., :, None]
+        fine_p = params_fine if params_fine is not None else params
+        fine_ls = ls_fine if params_fine is not None else ls
+        raw = _query_mlp(fine_p, fine_ls, pts, viewdirs, rc)
+        out = raw2outputs(raw, z_all, rays_d, rc.raw_noise_std, rc.white_bkgd,
+                          noise_key=None if deterministic else k_noise1)
+        ret["z_std"] = jnp.std(z_samples, axis=-1)
+
+    ret["rgb_map"] = out["rgb_map"]
+    ret["disp_map"] = out["disp_map"]
+    ret["acc_map"] = out["acc_map"]
+    return ret
+
+
+@functools.partial(jax.jit, static_argnames=("rc", "deterministic"))
+def render_chunk(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
+                 key, rc: RenderConfig, deterministic: bool = True):
+    """Jitted fixed-size chunk render; viewdirs derived from rays_d."""
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d,
+                       viewdirs, near, far, key, rc, deterministic)
+
+
+def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
+                 rc: RenderConfig, key=None):
+    """Render an arbitrary set of rays by chunking (host loop, padded tail).
+
+    rays_o/d: (N, 3) or (H, W, 3). Returns dict of host numpy arrays with
+    leading shape matching the input.
+    """
+    lead_shape = rays_o.shape[:-1]
+    ro = np.asarray(rays_o, np.float32).reshape(-1, 3)
+    rd = np.asarray(rays_d, np.float32).reshape(-1, 3)
+    n = ro.shape[0]
+    chunk = rc.chunk
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    outs = []
+    for start in range(0, n, chunk):
+        end = min(n, start + chunk)
+        ro_c, rd_c = ro[start:end], rd[start:end]
+        pad = chunk - (end - start)
+        if pad:
+            ro_c = np.concatenate([ro_c, np.zeros((pad, 3), np.float32)])
+            rd_c = np.concatenate([rd_c, np.ones((pad, 3), np.float32)])
+        res = render_chunk(params, params_fine, ls, ls_fine,
+                           jnp.asarray(ro_c), jnp.asarray(rd_c), near, far,
+                           key, rc, True)
+        res = {k: np.asarray(v)[:end - start] for k, v in res.items()
+               if k in ("rgb_map", "disp_map", "acc_map")}
+        outs.append(res)
+
+    merged = {k: np.concatenate([o[k] for o in outs], axis=0)
+              for k in outs[0]}
+    return {k: v.reshape(lead_shape + v.shape[1:]) for k, v in merged.items()}
