@@ -1,0 +1,79 @@
+"""Synthetic tiny scenes for tests/benchmarks (no dataset download needed).
+
+Builds a "teacher" NeRF with random weights and renders ground-truth images
+from it, giving a self-consistent scene any student model can be fit/tuned
+against. Mirrors the role of the reference's DummyDataset for executer
+plumbing (reference: framework/use_case_init/__init__.py:164-182) but with
+real differentiable supervision.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+
+from ..models import nerf
+from ..render import renderer
+from ..render.rays import get_rays_np
+
+
+def look_at_poses(n: int, radius: float = 4.0, seed: int = 0):
+    """n camera-to-world poses on a sphere looking at the origin."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n):
+        theta = 2 * np.pi * i / n
+        phi = rng.uniform(-0.3, 0.3)
+        eye = radius * np.array([np.cos(theta) * np.cos(phi),
+                                 np.sin(theta) * np.cos(phi),
+                                 np.sin(phi)], np.float32)
+        forward = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 0.0, 1.0], np.float32)
+        right = np.cross(forward, up)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(right, forward)
+        c2w = np.stack([right, true_up, -forward], axis=-1)  # columns x,y,-z
+        poses.append(np.concatenate([c2w, eye[:, None]], axis=-1))
+    return np.stack(poses).astype(np.float32)
+
+
+def make_scene(n_images=4, H=16, W=16, mlp=None, rc=None, seed=0,
+               near=2.0, far=6.0):
+    """Returns (scene dict, teacher params). Scene keys follow the loaders:
+    images, poses, K, i_train, i_test, near, far, H, W, render config."""
+    mlp = mlp or nerf.NeRFConfig(W=32)
+    rc = rc or renderer.RenderConfig(mlp=mlp, n_samples=16, n_importance=8,
+                                     chunk=H * W)
+    key = jax.random.PRNGKey(seed)
+    teacher_c = nerf.init_params(key, mlp)
+    teacher_f = nerf.init_params(jax.random.fold_in(key, 1), mlp)
+
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    poses = look_at_poses(n_images, seed=seed)
+
+    images = []
+    for i in range(n_images):
+        ro, rd = get_rays_np(H, W, K, poses[i, :3, :4])
+        out = renderer.render_image(teacher_c, teacher_f, None, None, ro, rd,
+                                    near, far, rc)
+        images.append(out["rgb_map"])
+    images = np.stack(images).astype(np.float32)
+
+    scene = {
+        "images": images,
+        "poses": poses,
+        "render_poses": poses,
+        "K": K,
+        "H": H,
+        "W": W,
+        "i_train": np.arange(max(1, n_images - 1)),
+        "i_test": np.array([n_images - 1]),
+        "near": near,
+        "far": far,
+        "white_bkgd": False,
+        "ndc": False,
+        "batching_mode": "image",
+        "dataset_type": "synthetic",
+    }
+    return scene, (teacher_c, teacher_f)

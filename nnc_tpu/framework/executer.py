@@ -1,0 +1,200 @@
+"""NeRF model executer: the codec's callback for LSA tuning / testing.
+
+JAX counterpart of the reference's NeRFModelExecuter
+(reference: framework/pytorch_model/__init__.py:922-1217): ``tune_model``
+loads the dequantized wrapper parameters, optimizes only the
+``weight_scaling`` vectors by rendering rays (coarse+fine double MSE), applies
+per-epoch LR decay, periodically checkpoints + renders the test set, and
+returns the tuned scales as flat numpy arrays.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.model import ModelExecute
+from ..models import nerf
+from ..render import renderer
+from ..render.rays import get_rays_np, ndc_rays
+from ..train import lsa
+from ..utils.logging import mse2psnr, to8b
+
+
+class NeRFModelExecuter(ModelExecute):
+    def __init__(self, scene, render_config: renderer.RenderConfig, *,
+                 learning_rate=1e-4, epochs=2, learning_rate_decay=0.1,
+                 n_iters=50000, i_save=10000, n_rand=1024, seed=451,
+                 mesh=None, verbose=True):
+        self.scene = scene
+        self.rc = render_config
+        self.learning_rate = learning_rate
+        self.epochs = epochs
+        self.learning_rate_decay = learning_rate_decay
+        self.n_iters = n_iters
+        self.i_save = i_save
+        self.n_rand = n_rand
+        self.seed = seed
+        self.mesh = mesh
+        self.verbose = verbose
+        self.dataset_type = scene.get("dataset_type", "synthetic")
+
+    # -- helpers ------------------------------------------------------------
+    def _make_batcher(self):
+        from ..data.rays import RayBatcher
+        scene = self.scene
+        base = RayBatcher(scene["images"], scene["poses"], scene["K"],
+                          scene["i_train"], self.n_rand,
+                          mode=scene.get("batching_mode", "image"),
+                          seed=self.seed)
+        if not scene.get("ndc", False):
+            return base
+
+        H, W, focal = scene["H"], scene["W"], float(scene["K"][0][0])
+
+        class NDCBatcher:
+            def next_batch(_self):
+                ro, rd, target = base.next_batch()
+                vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+                ro_n, rd_n = ndc_rays(H, W, focal, 1.0, jnp.asarray(ro),
+                                      jnp.asarray(rd))
+                return (np.asarray(ro_n), np.asarray(rd_n),
+                        vd.astype(np.float32), target)
+
+        return NDCBatcher()
+
+    def _split_params(self, parameters):
+        cfg = self.rc.mlp
+        params_c, ls_c = nerf.params_from_state_dict(parameters, "model.",
+                                                     cfg)
+        params_f, ls_f = nerf.params_from_state_dict(parameters,
+                                                     "model_fine.", cfg)
+        if ls_c is None:
+            ls_c = nerf.init_lsa_scales(cfg)
+        if ls_f is None:
+            ls_f = nerf.init_lsa_scales(cfg)
+        return params_c, params_f, ls_c, ls_f
+
+    def _render_views(self, params_c, params_f, ls_c, ls_f, pose_indices,
+                      savedir=None):
+        scene = self.scene
+        rgbs, psnrs = [], []
+        for vi in pose_indices:
+            ro, rd = get_rays_np(scene["H"], scene["W"], scene["K"],
+                                 scene["poses"][vi, :3, :4])
+            vd = None
+            near, far = scene["near"], scene["far"]
+            if scene.get("ndc", False):
+                vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+                ro_j, rd_j = ndc_rays(scene["H"], scene["W"],
+                                      float(scene["K"][0][0]), 1.0,
+                                      jnp.asarray(ro), jnp.asarray(rd))
+                ro, rd = np.asarray(ro_j), np.asarray(rd_j)
+            out = renderer.render_image(params_c, params_f, ls_c, ls_f, ro,
+                                        rd, near, far, self.rc, viewdirs=vd)
+            rgb = out["rgb_map"]
+            rgbs.append(rgb)
+            gt = scene["images"][vi]
+            psnrs.append(mse2psnr(float(np.mean((rgb - gt) ** 2))))
+            if savedir is not None:
+                import imageio.v2 as imageio
+                imageio.imwrite(os.path.join(savedir, f"{vi:03d}.png"),
+                                to8b(rgb))
+        return np.stack(rgbs), psnrs
+
+    # -- ModelExecute interface --------------------------------------------
+    def tune_model(self, bitstream_path, parameters, param_types,
+                   lsa_flag=True, ft_flag=False, verbose=False):
+        params_c, params_f, ls_c, ls_f = self._split_params(parameters)
+        scene = self.scene
+        batcher = self._make_batcher()
+        basedir_save = os.path.dirname(os.path.dirname(bitstream_path)) \
+            if bitstream_path else None
+
+        def save_hook(step, cur_ls_c, cur_ls_f):
+            if basedir_save is None:
+                return
+            from ..utils import ckpt as ckpt_utils
+            sd = {}
+            sd.update(nerf.params_to_state_dict(params_c, "model.", cur_ls_c))
+            sd.update(nerf.params_to_state_dict(params_f, "model_fine.",
+                                                cur_ls_f))
+            rec_dir = os.path.join(basedir_save, "reconstructed")
+            os.makedirs(rec_dir, exist_ok=True)
+            from ..framework.torch_io import save_to_torch_file
+            save_to_torch_file(sd, os.path.join(rec_dir,
+                                                f"ckpt_step{step}.pt"))
+            testdir = os.path.join(basedir_save, f"testset_step{step}")
+            os.makedirs(testdir, exist_ok=True)
+            rgbs, _ = self._render_views(params_c, params_f, cur_ls_c,
+                                         cur_ls_f, scene["i_test"],
+                                         savedir=testdir)
+            moviedir = os.path.join(basedir_save, "movies")
+            os.makedirs(moviedir, exist_ok=True)
+            try:
+                import imageio.v2 as imageio
+                imageio.mimwrite(
+                    os.path.join(moviedir, f"step{step}_rgb.mp4"),
+                    to8b(rgbs), fps=30, quality=8)
+            except Exception as e:  # ffmpeg may be absent
+                print(f"INFO: mp4 writing skipped ({e})")
+
+        ls_c, ls_f, mean_psnr, mean_loss, _ = lsa.tune_lsa_scales(
+            params_c, params_f, ls_c, ls_f, batcher, self.rc,
+            scene["near"], scene["far"],
+            learning_rate=self.learning_rate,
+            learning_rate_decay=self.learning_rate_decay,
+            epochs=self.epochs, n_iters=self.n_iters, i_save=self.i_save,
+            basedir_save=basedir_save, seed=self.seed,
+            verbose=self.verbose or verbose, save_hook=save_hook,
+            mesh=self.mesh)
+
+        lsa_params, ft_params = {}, {}
+        if lsa_flag:
+            for name in ls_c:
+                lsa_params["model." + name + ".weight_scaling"] = \
+                    np.asarray(ls_c[name]).flatten()
+            for name in ls_f:
+                lsa_params["model_fine." + name + ".weight_scaling"] = \
+                    np.asarray(ls_f[name]).flatten()
+        return lsa_params, ft_params
+
+    def test_model(self, parameters, verbose=False):
+        """Render all test views; returns mean PSNR."""
+        params_c, params_f, ls_c, ls_f = self._split_params(parameters)
+        _, psnrs = self._render_views(params_c, params_f, ls_c, ls_f,
+                                      self.scene["i_test"])
+        if verbose:
+            print(f"test PSNR per view: {psnrs}")
+        return float(np.mean(psnrs))
+
+    def eval_model(self, parameters, verbose=False):
+        """Cheap probe: PSNR over one random ray batch per test view."""
+        params_c, params_f, ls_c, ls_f = self._split_params(parameters)
+        scene = self.scene
+        batcher = self._make_batcher()
+        batch = batcher.next_batch()
+        if len(batch) == 4:
+            ro, rd, vd, target = batch
+        else:
+            ro, rd, target = batch
+            vd = None
+        out = renderer.render_image(params_c, params_f, ls_c, ls_f, ro, rd,
+                                    scene["near"], scene["far"], self.rc,
+                                    viewdirs=vd)
+        psnr = mse2psnr(float(np.mean((out["rgb_map"] - target) ** 2)))
+        return psnr, psnr, float(np.mean((out["rgb_map"] - target) ** 2))
+
+    def has_eval(self):
+        return True
+
+    def has_test(self):
+        return True
+
+    def has_tune_ft(self):
+        return True
+
+    def has_tune_lsa(self):
+        return True

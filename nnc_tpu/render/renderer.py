@@ -96,15 +96,19 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
 
 @functools.partial(jax.jit, static_argnames=("rc", "deterministic"))
 def render_chunk(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
-                 key, rc: RenderConfig, deterministic: bool = True):
-    """Jitted fixed-size chunk render; viewdirs derived from rays_d."""
-    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+                 key, rc: RenderConfig, deterministic: bool = True,
+                 viewdirs=None):
+    """Jitted fixed-size chunk render; viewdirs derived from rays_d unless
+    given explicitly (NDC rays pass pre-warp directions, run_nerf.py:119-133).
+    """
+    if viewdirs is None:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     return render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d,
                        viewdirs, near, far, key, rc, deterministic)
 
 
 def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
-                 rc: RenderConfig, key=None):
+                 rc: RenderConfig, key=None, viewdirs=None):
     """Render an arbitrary set of rays by chunking (host loop, padded tail).
 
     rays_o/d: (N, 3) or (H, W, 3). Returns dict of host numpy arrays with
@@ -113,6 +117,8 @@ def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
     lead_shape = rays_o.shape[:-1]
     ro = np.asarray(rays_o, np.float32).reshape(-1, 3)
     rd = np.asarray(rays_d, np.float32).reshape(-1, 3)
+    vd = None if viewdirs is None else \
+        np.asarray(viewdirs, np.float32).reshape(-1, 3)
     n = ro.shape[0]
     chunk = rc.chunk
     if key is None:
@@ -122,13 +128,17 @@ def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
     for start in range(0, n, chunk):
         end = min(n, start + chunk)
         ro_c, rd_c = ro[start:end], rd[start:end]
+        vd_c = None if vd is None else vd[start:end]
         pad = chunk - (end - start)
         if pad:
             ro_c = np.concatenate([ro_c, np.zeros((pad, 3), np.float32)])
             rd_c = np.concatenate([rd_c, np.ones((pad, 3), np.float32)])
+            if vd_c is not None:
+                vd_c = np.concatenate([vd_c, np.ones((pad, 3), np.float32)])
         res = render_chunk(params, params_fine, ls, ls_fine,
                            jnp.asarray(ro_c), jnp.asarray(rd_c), near, far,
-                           key, rc, True)
+                           key, rc, True,
+                           None if vd_c is None else jnp.asarray(vd_c))
         res = {k: np.asarray(v)[:end - start] for k, v in res.items()
                if k in ("rgb_map", "disp_map", "acc_map")}
         outs.append(res)

@@ -1,0 +1,106 @@
+"""End-to-end pipeline tests on a tiny synthetic scene (no datasets needed)."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+import nnc_tpu
+from nnc_tpu.data import synthetic
+from nnc_tpu.models import nerf
+from nnc_tpu.render import renderer
+from nnc_tpu.utils import ckpt as ckpt_utils
+
+MLP = nerf.NeRFConfig(W=32)
+
+
+def make_wrapper_state_dict(seed=0):
+    key = jax.random.PRNGKey(seed)
+    params_c = nerf.init_params(key, MLP)
+    params_f = nerf.init_params(jax.random.fold_in(key, 1), MLP)
+    sd = {}
+    sd.update(nerf.params_to_state_dict(params_c, "model."))
+    sd.update(nerf.params_to_state_dict(params_f, "model_fine."))
+    return sd, (params_c, params_f)
+
+
+def test_compress_decompress_no_lsa(tmp_path):
+    sd, _ = make_wrapper_state_dict()
+    bs_path = str(tmp_path / "bitstream.nnc")
+    nnc_tpu.compress_model(sd, bitstream_path=bs_path, qp=-38, lsa=False,
+                           verbose=False)
+    assert os.path.getsize(bs_path) > 0
+    rec = nnc_tpu.decompress(bs_path, verbose=False)
+    assert set(rec.keys()) == set(sd.keys())
+    for name in sd:
+        err = np.abs(rec[name] - sd[name]).max()
+        assert err < 2e-3, (name, err)  # qp=-38 -> stepsize ~0.0015
+    # compression should be far below fp32
+    raw = sum(np.asarray(v).nbytes for v in sd.values())
+    assert os.path.getsize(bs_path) < raw / 2
+
+
+def test_compress_model_with_lsa_smoke(tmp_path):
+    scene, (teacher_c, teacher_f) = synthetic.make_scene(
+        n_images=3, H=8, W=8, mlp=MLP,
+        rc=renderer.RenderConfig(mlp=MLP, n_samples=8, n_importance=4,
+                                 chunk=64))
+    sd = {}
+    sd.update(nerf.params_to_state_dict(teacher_c, "model."))
+    sd.update(nerf.params_to_state_dict(teacher_f, "model_fine."))
+
+    run_dir = tmp_path / "run" / "bitstream"
+    run_dir.mkdir(parents=True)
+    bs_path = str(run_dir / "bitstream.nnc")
+
+    scene["n_importance"] = 4
+    nnc_tpu.compress_model(
+        sd, bitstream_path=bs_path, qp=-20, lsa=True, verbose=False,
+        task_type="NeRF", scene=scene, mlp_config=MLP,
+        N_iters=4, epochs=1, i_save=0, learning_rate=1e-3,
+        learning_rate_decay=0.1)
+
+    rec = nnc_tpu.decompress(bs_path, verbose=False)
+    # scales were applied into the weights on decode; no ls params remain
+    assert not any(n.endswith("_scaling") for n in rec)
+    assert set(rec.keys()) == set(sd.keys())
+    # result.txt was written by the tuning loop
+    result_txt = tmp_path / "run" / "result.txt"
+    assert result_txt.exists()
+    from nnc_tpu.utils.logging import read_result_file
+    psnr, loss = read_result_file(str(result_txt))
+    assert len(psnr) == 4 and len(loss) == 4
+
+
+def test_tar_pt_roundtrip(tmp_path):
+    sd, _ = make_wrapper_state_dict(seed=3)
+    tar_path = str(tmp_path / "ckpt.tar")
+    ckpt_utils.wrapper_dict_to_nerf_tar(sd, tar_path, global_step=1234)
+    wrapper, step = ckpt_utils.nerf_tar_to_wrapper_dict(tar_path)
+    assert step == 1234
+    assert set(wrapper.keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_allclose(wrapper[k], sd[k], atol=0)
+    # .tar -> .pt conversion keeps the checkpoint loadable
+    pt_path = str(tmp_path / "ckpt.pt")
+    ckpt_utils.convert_tar_to_pt(tar_path, pt_path)
+    import torch
+    loaded = torch.load(pt_path, map_location="cpu")
+    assert "network_fn_state_dict" in loaded
+
+
+def test_executer_test_model():
+    scene, (teacher_c, teacher_f) = synthetic.make_scene(
+        n_images=3, H=8, W=8, mlp=MLP,
+        rc=renderer.RenderConfig(mlp=MLP, n_samples=8, n_importance=4,
+                                 chunk=64))
+    scene["n_importance"] = 4
+    from nnc_tpu.train.presets import create_nerf_model_executer
+    ex = create_nerf_model_executer(scene=scene, mlp_config=MLP, n_iters=1,
+                                    epochs=1, i_save=0, verbose=False)
+    sd = {}
+    sd.update(nerf.params_to_state_dict(teacher_c, "model."))
+    sd.update(nerf.params_to_state_dict(teacher_f, "model_fine."))
+    # the teacher rendered the scene itself -> PSNR should be very high
+    psnr = ex.test_model(sd)
+    assert psnr > 30
