@@ -6,12 +6,18 @@ set before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell may preset a TPU platform
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Some environments register a TPU platform plugin that wins over the env
+# var; pin the platform through jax.config as well (before backend init).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

@@ -1,0 +1,82 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nnc_tpu import parallel
+from nnc_tpu.models import nerf
+from nnc_tpu.render import renderer
+from nnc_tpu.train import lsa
+
+
+def test_virtual_devices_present():
+    assert jax.device_count() == 8
+
+
+def test_make_mesh_shapes():
+    mesh = parallel.make_mesh(8, ("data",))
+    assert mesh.shape == {"data": 8}
+    mesh2 = parallel.make_mesh(8, ("data", "model"))
+    assert mesh2.shape["data"] * mesh2.shape["model"] == 8
+    assert mesh2.shape["model"] > 1
+
+
+def test_shard_train_inputs_layout():
+    mesh = parallel.make_mesh(8, ("data",))
+    (a,) = parallel.shard_train_inputs(mesh, np.zeros((16, 3), np.float32))
+    assert a.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_data_parallel_train_step_matches_single_device():
+    """The sharded LSA step must produce the same loss/updates as 1 device."""
+    import optax
+    mlp = nerf.NeRFConfig(W=16)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=8, n_importance=4, chunk=16)
+    key = jax.random.PRNGKey(0)
+    params = (nerf.init_params(key, mlp),
+              nerf.init_params(jax.random.fold_in(key, 1), mlp))
+    scales = (nerf.init_lsa_scales(mlp), nerf.init_lsa_scales(mlp))
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(scales)
+    step = lsa.make_train_step(rc, optimizer)
+
+    rng = np.random.default_rng(0)
+    ro = rng.normal(0, 1, (16, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (16, 3)).astype(np.float32) - [0, 0, 2]
+    tgt = rng.uniform(0, 1, (16, 3)).astype(np.float32)
+    k = jax.random.PRNGKey(7)
+
+    s1, _, loss1, _ = step(scales, opt_state, params, jnp.asarray(ro),
+                           jnp.asarray(rd), None, jnp.asarray(tgt), 2.0, 6.0,
+                           k)
+
+    mesh = parallel.make_mesh(8, ("data",))
+    params_r = (parallel.replicate_params(mesh, params[0]),
+                parallel.replicate_params(mesh, params[1]))
+    scales_r = parallel.replicate_params(mesh, scales)
+    opt_r = optimizer.init(scales_r)
+    ro_s, rd_s, tgt_s = parallel.shard_train_inputs(mesh, ro, rd, tgt)
+    s2, _, loss2, _ = step(scales_r, opt_r, params_r, ro_s, rd_s, None,
+                           tgt_s, 2.0, 6.0, k)
+
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    for name in s1[0]:
+        np.testing.assert_allclose(np.asarray(s1[0][name]),
+                                   np.asarray(s2[0][name]), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_graft_entry_compiles():
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn).lower(*args).compile()
+    assert out is not None
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
