@@ -21,7 +21,7 @@ def main():
     mlp = nerf.NeRFConfig(compute_dtype=jnp.bfloat16)
     rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=128,
                                white_bkgd=True, chunk=chunk,
-                               use_fused_mlp=False)
+                               use_fused_mlp=True)
     key = jax.random.PRNGKey(0)
     params_c = nerf.init_params(key, mlp)
     params_f = nerf.init_params(jax.random.fold_in(key, 1), mlp)

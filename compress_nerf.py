@@ -1,0 +1,87 @@
+"""CLI driver: compress a vanilla-NeRF checkpoint with (optionally) LSA.
+
+Pipeline (reference: compress_nerf.py:5-63):
+  1. load nerf-pytorch .tar checkpoint -> flat NeRFWrapper state dict
+  2. create timestamped save paths (bitstream/, reconstructed/)
+  3. compress (NNR bitstream; LSA tunes scales by rendering on TPU)
+  4. decompress -> reconstructed .pt
+  5. convert back to a standard nerf-pytorch .tar
+"""
+import argparse
+
+import nnc_tpu
+from nnc_tpu.utils import ckpt as utils
+
+
+def main(args):
+    wrapper_dict, _gstep = utils.nerf_tar_to_wrapper_dict(args.ckpt_path)
+
+    path_dict = utils.create_save_path(
+        ckpt_nickname=args.ckpt_nickname,
+        base_path_to_save=args.base_path_to_save,
+        qp=args.qp,
+        lsa=args.lsa,
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        task_type=args.task_type,
+        dataset_type=args.dataset_type,
+        N_iters=args.N_iters,
+        learning_rate_decay=args.learning_rate_decay)
+
+    nnc_tpu.compress_model(
+        model_path_or_object=wrapper_dict,
+        bitstream_path=path_dict["bitstream"],
+        qp=args.qp,
+        epochs=args.epochs,
+        learning_rate=args.learning_rate,
+        lsa=args.lsa,
+        dataset_path=(None if args.dataset_path in ("~", "")
+                      else args.dataset_path),
+        task_type=args.task_type,
+        dataset_type=args.dataset_type,
+        N_iters=args.N_iters,
+        learning_rate_decay=args.learning_rate_decay,
+        i_save=args.i_save,
+        use_fused_mlp=args.use_fused_mlp)
+
+    nnc_tpu.decompress_model(path_dict["bitstream"],
+                             model_path=path_dict["reconstructed"])
+
+    utils.convert_nerfwrapper_to_nerf_ckpt(
+        nerfwrapper_path=path_dict["reconstructed"],
+        ckpt_path=utils.change_extension_to_tar(path_dict["reconstructed"]))
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="NeRF Processing Script")
+    parser.add_argument("--ckpt_path", type=str, required=True,
+                        help="Path to checkpoint file (.tar).")
+    parser.add_argument("--ckpt_nickname", default="lego_200K", type=str)
+    parser.add_argument("--base_path_to_save", type=str, default="./runs")
+    parser.add_argument("--qp", type=int, default=-15,
+                        help="Quantization Parameter.")
+    parser.add_argument("--lsa", type=lambda s: s.lower() in
+                        ("1", "true", "yes"), default=True)
+    parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--task_type", type=str, default="NeRF",
+                        choices=["NeRF", "Classification"])
+    parser.add_argument("--dataset_type", type=str, default="blender",
+                        choices=["blender", "llff"])
+    parser.add_argument("--N_iters", type=int, default=20000)
+    parser.add_argument("--learning_rate_decay", type=float, default=0.5)
+    parser.add_argument("--i_save", type=int, default=10000)
+    parser.add_argument("--dataset_path", type=str, default="~")
+    parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() in
+                        ("1", "true", "yes"), default=True,
+                        help="Use the Pallas fused MLP for renders.")
+    return parser
+
+
+if __name__ == "__main__":
+    args = build_parser().parse_args()
+    print("\n############## PROVIDED ARGUMENTS ################")
+    for arg, value in vars(args).items():
+        print(f"{arg}: {value}")
+    print("##################################################\n")
+    main(args)

@@ -1,0 +1,187 @@
+"""Fused NeRF MLP Pallas kernel (TPU inference fast path).
+
+The whole 12-linear-layer NeRF MLP (~600K params, ~2.4 MB fp32 / 1.2 MB bf16)
+fits in VMEM, so the entire network — 8 pts layers with skip, alpha/feature
+heads, view layer, rgb head — runs as ONE kernel per point tile. HBM traffic
+drops from ~26 GB per 2M-point render (every XLA matmul round-trips its
+activations) to just the embedded inputs + raw outputs (~1.5 GB), moving the
+render from memory-bound to MXU-bound.
+
+Layout tricks:
+  * pts/view embeddings are packed into one (N, 128) bf16 buffer
+    (cols 0:63 = pts posenc, 64:91 = view posenc).
+  * The skip concat and the [feature, viewdirs] concat are realized as TWO
+    matmuls with zero-padded weight blocks (rows outside the real feature
+    range are zero), so no in-kernel concatenation is needed.
+  * alpha and rgb heads write into disjoint columns of one (T, 128) output
+    (cols 0:3 rgb logits, col 3 sigma).
+
+Weights are zero-padded to 128-lane multiples host-side per call (tiny), LSA
+scales folded in beforehand. Only the flagship architecture (D=8, W=256,
+skip=(4,), viewdirs, 63/27 posenc) takes this path; other configs fall back
+to the XLA MLP.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import nerf
+
+TILE = 1024
+_PACK_W = 128  # packed embedding width
+
+
+def supports(config: nerf.NeRFConfig) -> bool:
+    return (config.D == 8 and config.W == 256 and config.skips == (4,)
+            and config.use_viewdirs and config.input_ch == 63
+            and config.input_ch_views == 27)
+
+
+def _pad_to(x, rows, cols):
+    r, c = x.shape
+    return jnp.pad(x, ((0, rows - r), (0, cols - c)))
+
+
+def _pack_weights(params, ls, dtype):
+    """Build the padded weight/bias pytree consumed by the kernel."""
+    if ls is not None:
+        params = nerf.fold_lsa(params, ls)
+
+    def w(name):
+        return params[name]["w"]
+
+    def b(name, width):
+        return jnp.pad(params[name]["b"], (0, width - params[name]["b"].shape[0]))
+
+    packed = {}
+    # layer 0: (63,256) -> (128,256); rows 64:128 are zero so the view-emb
+    # columns of the packed input do not leak in.
+    packed["w0"] = _pad_to(w("pts_linears.0"), _PACK_W, 256)
+    for i in (1, 2, 3, 4, 6, 7):
+        packed[f"w{i}"] = w(f"pts_linears.{i}")
+    # skip layer 5: input [emb(63), h(256)] -> two matmuls
+    w5 = w("pts_linears.5")  # (319, 256)
+    packed["w5a"] = _pad_to(w5[:63], _PACK_W, 256)
+    packed["w5b"] = w5[63:]
+    packed["wf"] = w("feature_linear")
+    # alpha head -> column 3 of the 128-wide output
+    wa = w("alpha_linear")  # (256, 1)
+    packed["wa"] = jnp.zeros((256, 128), wa.dtype).at[:, 3:4].set(wa)
+    # view layer: input [feature(256), vemb(27)] -> two matmuls
+    wv = w("views_linears.0")  # (283, 128)
+    packed["wva"] = wv[:256]
+    packed["wvb"] = jnp.zeros((_PACK_W, 128), wv.dtype).at[64:91].set(wv[256:])
+    # rgb head -> columns 0:3
+    wr = w("rgb_linear")  # (128, 3)
+    packed["wr"] = jnp.zeros((128, 128), wr.dtype).at[:, :3].set(wr)
+
+    packed = {k: v.astype(dtype) for k, v in packed.items()}
+
+    biases = {}
+    for i in range(8):
+        biases[f"b{i}"] = params[f"pts_linears.{i}"]["b"].reshape(1, 256)
+    biases["bf"] = params["feature_linear"]["b"].reshape(1, 256)
+    ba = jnp.zeros((1, 128), jnp.float32).at[0, 3].set(
+        params["alpha_linear"]["b"][0])
+    biases["ba"] = ba
+    biases["bv"] = params["views_linears.0"]["b"].reshape(1, 128)
+    br = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
+        params["rgb_linear"]["b"])
+    biases["br"] = br
+    biases = {k: v.astype(jnp.float32) for k, v in biases.items()}
+    return packed, biases
+
+
+def _kernel(emb_ref,
+            w0, w1, w2, w3, w4, w5a, w5b, w6, w7, wf, wa, wva, wvb, wr,
+            b0, b1, b2, b3, b4, b5, b6, b7, bf, ba, bv, br,
+            out_ref):
+    f32 = jnp.float32
+    emb = emb_ref[:]  # (T, 128) bf16
+    cdt = emb.dtype
+
+    def dense(x, w_ref, b_ref):
+        y = jnp.dot(x, w_ref[:], preferred_element_type=f32) + b_ref[:]
+        return y
+
+    h = jax.nn.relu(dense(emb, w0, b0)).astype(cdt)
+    for w_ref, b_ref in ((w1, b1), (w2, b2), (w3, b3), (w4, b4)):
+        h = jax.nn.relu(dense(h, w_ref, b_ref)).astype(cdt)
+    # skip: [emb, h] @ w5 == emb @ w5a + h @ w5b
+    y5 = jnp.dot(emb, w5a[:], preferred_element_type=f32) + \
+        jnp.dot(h, w5b[:], preferred_element_type=f32) + b5[:]
+    h = jax.nn.relu(y5).astype(cdt)
+    for w_ref, b_ref in ((w6, b6), (w7, b7)):
+        h = jax.nn.relu(dense(h, w_ref, b_ref)).astype(cdt)
+
+    alpha = dense(h, wa, ba)  # (T,128) only col 3 nonzero
+    feature = dense(h, wf, bf).astype(cdt)
+    v = jnp.dot(feature, wva[:], preferred_element_type=f32) + \
+        jnp.dot(emb, wvb[:], preferred_element_type=f32) + bv[:]
+    v = jax.nn.relu(v).astype(cdt)
+    rgb = dense(v, wr, br)  # cols 0:3
+    out_ref[:] = rgb + alpha
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_call(packed, biases, emb, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = emb.shape[0]
+    grid = (n // TILE,)
+    w_order = ["w0", "w1", "w2", "w3", "w4", "w5a", "w5b", "w6", "w7",
+               "wf", "wa", "wva", "wvb", "wr"]
+    b_order = ["b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "bf", "ba",
+               "bv", "br"]
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((TILE, _PACK_W), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [full(packed[k]) for k in w_order]
+    in_specs += [full(biases[k]) for k in b_order]
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * 600_000, bytes_accessed=n * 768,
+            transcendentals=0),
+    )(emb, *[packed[k] for k in w_order], *[biases[k] for k in b_order])
+    return out
+
+
+def fused_nerf_mlp(params, ls, pts_emb, views_emb, config: nerf.NeRFConfig):
+    """Drop-in for nerf.apply_mlp on the flagship config (inference only).
+
+    pts_emb: (..., 63); views_emb: (..., 27). Returns (..., 4) float32.
+    """
+    if not supports(config):
+        return nerf.apply_mlp(params, pts_emb, views_emb, config, ls=ls)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    dtype = jnp.bfloat16 if config.compute_dtype == jnp.bfloat16 \
+        else jnp.float32
+
+    lead = pts_emb.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    pts_flat = pts_emb.reshape(n, 63)
+    views_flat = views_emb.reshape(n, 27)
+
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    emb = jnp.zeros((n_pad, _PACK_W), dtype)
+    emb = emb.at[:n, :63].set(pts_flat.astype(dtype))
+    emb = emb.at[:n, 64:91].set(views_flat.astype(dtype))
+
+    packed, biases = _pack_weights(params, ls, dtype)
+    out = _fused_call(packed, biases, emb, interpret=interpret)
+    raw = out[:n, :4]
+    return raw.reshape(*lead, 4)

@@ -53,16 +53,23 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool):
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,))
 
-    inds = searchsorted_right(cdf, u)
-    below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+    # TPU-friendly interval lookup: instead of index gathers (slow
+    # scatter/gather path on the VPU), exploit monotonicity of cdf and bins
+    # and compute the bracketing values as masked max/min reductions over the
+    # (N, B+1) comparison matrix — pure vectorized ops that XLA fuses.
+    mask = u[..., :, None] >= cdf[..., None, :]       # (..., N, B+1)
+    neg, pos = -jnp.inf, jnp.inf
+    cdf_b = cdf[..., None, :]
+    cdf_g0 = jnp.max(jnp.where(mask, cdf_b, neg), axis=-1)       # cdf[below]
+    cdf_g1 = jnp.min(jnp.where(mask, pos, cdf_b), axis=-1)       # cdf[above]
+    cdf_g1 = jnp.where(jnp.isfinite(cdf_g1), cdf_g1, cdf[..., -1:])
 
-    cdf_g0 = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_g1 = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_g0 = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1),
-                                  axis=-1)
-    bins_g1 = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1),
-                                  axis=-1)
+    # bins shares the cdf index space (B+1 edges each)
+    bins_b = bins[..., None, :]
+    bins_g0 = jnp.max(jnp.where(mask, bins_b, neg), axis=-1)
+    bins_g0 = jnp.where(jnp.isfinite(bins_g0), bins_g0, bins[..., :1])
+    bins_g1 = jnp.min(jnp.where(mask, pos, bins_b), axis=-1)
+    bins_g1 = jnp.where(jnp.isfinite(bins_g1), bins_g1, bins[..., -1:])
 
     denom = cdf_g1 - cdf_g0
     denom = jnp.where(denom < 1e-5, 1.0, denom)
