@@ -88,9 +88,22 @@ def compress_model(model_path_or_object,
                    use_fused_mlp=False):
     """Compress a model (torch module, state dict, flat numpy dict, or file
     path) into an NNR bitstream. (reference: nnc/compression.py:74-315)"""
-    from .framework import torch_io
+    from .framework import tf_io, torch_io
 
-    if isinstance(model_path_or_object, str):
+    if tf_io.is_tef_model(model_path_or_object):
+        if isinstance(model_path_or_object, str):
+            nnc_mdl, parameters = tf_io.create_NNC_model_instance_from_file(
+                model_path_or_object)
+        else:
+            nnc_mdl, parameters = tf_io.create_NNC_model_instance_from_object(
+                model_path_or_object)
+        if lsa:
+            # TF models are compress/decompress only (reference:
+            # nnc/compression.py:136-138)
+            print("INFO: LSA is not supported for TensorFlow models; "
+                  "disabled.")
+            lsa = False
+    elif isinstance(model_path_or_object, str):
         nnc_mdl, parameters = torch_io.create_NNC_model_instance_from_file(
             model_path_or_object)
     else:
@@ -318,6 +331,10 @@ def decompress_model(bitstream_path, model_path=None, verbose=True,
                 hls.TopologyStorageFormat.NNR_TPL_UNREC, None):
             from .framework.torch_io import save_to_torch_file
             save_to_torch_file(parameters, model_path)
+        elif model_info["topology_storage_format"] == \
+                hls.TopologyStorageFormat.NNR_TPL_TEF:
+            from .framework.tf_io import save_to_tensorflow_file
+            save_to_tensorflow_file(parameters, model_path)
         else:
             raise NotImplementedError(
                 f"saving topology format "
