@@ -41,8 +41,11 @@ def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig):
     pts_emb = positional_encoding(pts, rc.multires)
     views_emb = None
     if rc.mlp.use_viewdirs:
-        vd = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
-        views_emb = positional_encoding(vd, rc.multires_views)
+        # encode per ray once, broadcast across samples (saves S-1/S of the
+        # view transcendentals vs encoding the broadcast points)
+        ve = positional_encoding(viewdirs, rc.multires_views)
+        views_emb = jnp.broadcast_to(ve[..., None, :],
+                                     pts.shape[:-1] + (ve.shape[-1],))
     if rc.use_fused_mlp:
         from ..ops.mlp_pallas import fused_nerf_mlp
         return fused_nerf_mlp(params, ls, pts_emb, views_emb, rc.mlp)
