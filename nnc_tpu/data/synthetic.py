@@ -36,6 +36,26 @@ def look_at_poses(n: int, radius: float = 4.0, seed: int = 0):
     return np.stack(poses).astype(np.float32)
 
 
+def _activate(params, seed):
+    """Give a freshly initialized teacher non-trivial density and color:
+    random-init NeRFs output near-zero sigma (all rays render black, which
+    would make any photometric loss identically zero). Boost the alpha and
+    rgb heads so the scene has visible structure."""
+    import jax.numpy as jnp
+    k = jax.random.PRNGKey(seed)
+    params = dict(params)
+    if "alpha_linear" in params:
+        a = dict(params["alpha_linear"])
+        a["w"] = a["w"] * 40.0
+        a["b"] = a["b"] + 0.5
+        params["alpha_linear"] = a
+        r = dict(params["rgb_linear"])
+        r["w"] = r["w"] * 20.0 + 0.2 * jax.random.normal(
+            k, r["w"].shape, jnp.float32)
+        params["rgb_linear"] = r
+    return params
+
+
 def make_scene(n_images=4, H=16, W=16, mlp=None, rc=None, seed=0,
                near=2.0, far=6.0):
     """Returns (scene dict, teacher params). Scene keys follow the loaders:
@@ -44,8 +64,9 @@ def make_scene(n_images=4, H=16, W=16, mlp=None, rc=None, seed=0,
     rc = rc or renderer.RenderConfig(mlp=mlp, n_samples=16, n_importance=8,
                                      chunk=H * W)
     key = jax.random.PRNGKey(seed)
-    teacher_c = nerf.init_params(key, mlp)
-    teacher_f = nerf.init_params(jax.random.fold_in(key, 1), mlp)
+    teacher_c = _activate(nerf.init_params(key, mlp), seed)
+    teacher_f = _activate(nerf.init_params(jax.random.fold_in(key, 1), mlp),
+                          seed + 1)
 
     focal = 0.8 * W
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
