@@ -27,7 +27,8 @@ class NeRFModelExecuter(ModelExecute):
     def __init__(self, scene, render_config: renderer.RenderConfig, *,
                  learning_rate=1e-4, epochs=2, learning_rate_decay=0.1,
                  n_iters=50000, i_save=10000, n_rand=1024, seed=451,
-                 mesh=None, verbose=True):
+                 mesh=None, verbose=True, resume=False):
+        self.resume = resume
         self.scene = scene
         self.rc = render_config
         self.learning_rate = learning_rate
@@ -113,6 +114,27 @@ class NeRFModelExecuter(ModelExecute):
         basedir_save = os.path.dirname(os.path.dirname(bitstream_path)) \
             if bitstream_path else None
 
+        # resume-from-interruption (improvement over the reference, which
+        # restarts tuning from scratch; SURVEY §5 checkpoint/resume gap):
+        # pick up the newest mid-tune checkpoint's scales + step counter.
+        global_step0 = 0
+        if self.resume and basedir_save:
+            import glob as _glob
+            ckpts = _glob.glob(os.path.join(basedir_save, "reconstructed",
+                                            "ckpt_step*.pt"))
+            if ckpts:
+                latest = max(ckpts, key=lambda p: int(
+                    os.path.basename(p)[len("ckpt_step"):-3]))
+                global_step0 = int(os.path.basename(latest)
+                                   [len("ckpt_step"):-3])
+                import torch
+                sd = {k: v.numpy() for k, v in
+                      torch.load(latest, map_location="cpu").items()}
+                _pc, _pf, ls_c, ls_f = self._split_params(sd)
+                if self.verbose:
+                    print(f"INFO: resuming LSA from step {global_step0} "
+                          f"({latest})")
+
         def save_hook(step, cur_ls_c, cur_ls_f):
             if basedir_save is None:
                 return
@@ -147,9 +169,9 @@ class NeRFModelExecuter(ModelExecute):
             learning_rate=self.learning_rate,
             learning_rate_decay=self.learning_rate_decay,
             epochs=self.epochs, n_iters=self.n_iters, i_save=self.i_save,
-            basedir_save=basedir_save, seed=self.seed,
-            verbose=self.verbose or verbose, save_hook=save_hook,
-            mesh=self.mesh)
+            basedir_save=basedir_save, global_step0=global_step0,
+            seed=self.seed, verbose=self.verbose or verbose,
+            save_hook=save_hook, mesh=self.mesh)
 
         lsa_params, ft_params = {}, {}
         if lsa_flag:

@@ -38,6 +38,11 @@ class RenderConfig:
 
 def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig):
     """posenc + MLP over (R, S, 3) points. Returns raw (R, S, 4)."""
+    if rc.use_fused_mlp and rc.multires == 10 and rc.multires_views == 4:
+        # fully fused path: posenc happens inside the Pallas kernel
+        from ..ops.mlp_pallas import fused_nerf_mlp_from_points
+        return fused_nerf_mlp_from_points(params, ls, pts,
+                                          viewdirs[..., None, :], rc.mlp)
     pts_emb = positional_encoding(pts, rc.multires)
     views_emb = None
     if rc.mlp.use_viewdirs:
@@ -142,10 +147,11 @@ def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
                            jnp.asarray(ro_c), jnp.asarray(rd_c), near, far,
                            key, rc, True,
                            None if vd_c is None else jnp.asarray(vd_c))
-        res = {k: np.asarray(v)[:end - start] for k, v in res.items()
-               if k in ("rgb_map", "disp_map", "acc_map")}
-        outs.append(res)
+        # keep results on device: materializing per chunk would serialize
+        # dispatch with device->host transfers
+        outs.append(({k: v[:end - start] for k, v in res.items()
+                      if k in ("rgb_map", "disp_map", "acc_map")}))
 
-    merged = {k: np.concatenate([o[k] for o in outs], axis=0)
+    merged = {k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)
               for k in outs[0]}
     return {k: v.reshape(lead_shape + v.shape[1:]) for k, v in merged.items()}

@@ -105,3 +105,43 @@ def test_executer_test_model():
     # its own (denser) sampling config, so PSNR is high but finite
     psnr = ex.test_model(sd)
     assert psnr > 20
+
+
+def test_lsa_resume_from_checkpoint(tmp_path):
+    """The executer resumes scales + step counter from ckpt_step*.pt."""
+    scene, (tc, tf_) = synthetic.make_scene(
+        n_images=2, H=8, W=8, mlp=MLP,
+        rc=renderer.RenderConfig(mlp=MLP, n_samples=8, n_importance=4,
+                                 chunk=64))
+    scene["n_importance"] = 4
+    from nnc_tpu.train.presets import create_nerf_model_executer
+    ex = create_nerf_model_executer(scene=scene, mlp_config=MLP, n_iters=2,
+                                    epochs=1, i_save=0, verbose=False)
+    ex.resume = True
+
+    sd = {}
+    sd.update(nerf.params_to_state_dict(tc, "model."))
+    sd.update(nerf.params_to_state_dict(tf_, "model_fine."))
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    run = tmp_path / "run"
+    rec = run / "reconstructed"
+    rec.mkdir(parents=True)
+    # fabricate a mid-tune checkpoint with recognizable scales
+    ck = {}
+    ls_marked = {n: np.full((v.shape[0], 1), 1.25, np.float32)
+                 for n, v in sd.items() if n.endswith(".weight")}
+    ck.update(sd)
+    for n, v in ls_marked.items():
+        ck[n + "_scaling"] = v
+    import torch
+    torch.save({k: torch.from_numpy(np.asarray(v).copy())
+                for k, v in ck.items()}, str(rec / "ckpt_step7.pt"))
+
+    bs_path = str(run / "bitstream" / "b.nnc")
+    (run / "bitstream").mkdir()
+    lsa_params, _ = ex.tune_model(bs_path, parameters=dict(sd),
+                                  param_types={}, lsa_flag=True)
+    # tuned scales started from the checkpoint's 1.25, not 1.0
+    some = next(iter(lsa_params.values()))
+    assert abs(float(np.mean(some)) - 1.25) < 0.05
