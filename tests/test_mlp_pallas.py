@@ -46,3 +46,17 @@ def test_fused_padding_tail():
     ref = np.asarray(nerf.apply_mlp(params, pts, views, mlp))
     got = np.asarray(mlp_pallas.fused_nerf_mlp(params, None, pts, views, mlp))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_from_points_matches_reference_interpret():
+    from nnc_tpu.ops.posenc import positional_encoding
+    mlp = nerf.NeRFConfig()  # f32
+    params = nerf.init_params(jax.random.PRNGKey(0), mlp)
+    N = mlp_pallas.TILE
+    pts = jax.random.normal(jax.random.PRNGKey(1), (N, 3))
+    vd = jax.random.normal(jax.random.PRNGKey(2), (N, 3))
+    ref = np.asarray(nerf.apply_mlp(params, positional_encoding(pts, 10),
+                                    positional_encoding(vd, 4), mlp))
+    got = np.asarray(mlp_pallas.fused_nerf_mlp_from_points(
+        params, None, pts, vd, mlp))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
