@@ -16,6 +16,13 @@ from nnc_tpu.utils import ckpt as utils
 def main(args):
     wrapper_dict, _gstep = utils.nerf_tar_to_wrapper_dict(args.ckpt_path)
 
+    scene = None
+    if args.config:
+        from nnc_tpu.train.presets import load_scene_from_config
+        scene, _extra = load_scene_from_config(
+            args.config, None if args.dataset_path in ("~", "")
+            else args.dataset_path)
+
     path_dict = utils.create_save_path(
         ckpt_nickname=args.ckpt_nickname,
         base_path_to_save=args.base_path_to_save,
@@ -42,6 +49,7 @@ def main(args):
         N_iters=args.N_iters,
         learning_rate_decay=args.learning_rate_decay,
         i_save=args.i_save,
+        scene=scene,
         use_fused_mlp=args.use_fused_mlp)
 
     nnc_tpu.decompress_model(path_dict["bitstream"],
@@ -72,6 +80,8 @@ def build_parser():
     parser.add_argument("--learning_rate_decay", type=float, default=0.5)
     parser.add_argument("--i_save", type=int, default=10000)
     parser.add_argument("--dataset_path", type=str, default="~")
+    parser.add_argument("--config", type=str, default=None,
+                        help="Optional configs/*.txt scene config.")
     parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() in
                         ("1", "true", "yes"), default=True,
                         help="Use the Pallas fused MLP for renders.")

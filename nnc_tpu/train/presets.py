@@ -90,6 +90,23 @@ def load_scene(dataset_type: str, data_dir: str = None, half_res=True,
                      "(expected 'blender', 'llff', or pass scene=...)")
 
 
+def load_scene_from_config(config_path: str, data_dir: str = None):
+    """Build a scene from a nerf-pytorch style configs/*.txt file.
+    Returns (scene, leftover overrides e.g. n_samples/n_rand)."""
+    from ..utils.config_txt import load_config, scene_overrides
+    ov = scene_overrides(load_config(config_path))
+    dataset_type = ov.pop("dataset_type")
+    data_dir = data_dir or ov.pop("data_dir", None)
+    scene_kwargs = {k: ov.pop(k) for k in
+                    ("half_res", "testskip", "factor", "llffhold",
+                     "spherify") if k in ov}
+    scene = load_scene(dataset_type, data_dir, **scene_kwargs)
+    for k in ("white_bkgd", "raw_noise_std", "n_importance"):
+        if k in ov:
+            scene[k] = ov.pop(k)
+    return scene, ov
+
+
 def make_render_config(scene, mlp_config=None, chunk=1024 * 32,
                        use_fused_mlp=False, n_samples=64):
     mlp_config = mlp_config or nerf.NeRFConfig()

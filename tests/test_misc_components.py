@@ -1,0 +1,71 @@
+"""ImageNet loader, config-txt parser, mock evaluator, profiling utils."""
+import os
+
+import numpy as np
+import pytest
+
+
+def make_fake_imagenet(root, n_classes=2, per_class=3, size=32):
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    files = []
+    for c in range(n_classes):
+        d = os.path.join(root, f"n{c:08d}")
+        os.makedirs(d)
+        for i in range(per_class):
+            name = f"img_{c}_{i}.JPEG"
+            Image.fromarray(
+                rng.integers(0, 255, (size, size, 3), np.uint8)).save(
+                os.path.join(d, name))
+            files.append((f"n{c:08d}", name))
+    return files
+
+
+def test_imagenet_dataset_and_loaders(tmp_path):
+    from nnc_tpu.data.imagenet import ImageNetDataset, imagenet_dataloaders
+    files = make_fake_imagenet(str(tmp_path))
+    ds = ImageNetDataset(str(tmp_path), "train")
+    assert len(ds) == 6
+    x, y = ds[0]
+    assert x.shape == (224, 224, 3) and 0 <= y < 2
+
+    # validation split via file list
+    val_list = str(tmp_path / "val.txt")
+    with open(val_list, "w") as f:
+        f.write(files[0][1] + "\n")
+    train_fn, val_fn = imagenet_dataloaders(str(tmp_path), batch_size=4,
+                                            validation_files_path=val_list)
+    xb, yb = next(iter(train_fn()))
+    assert xb.shape[0] <= 4 and xb.dtype == np.float32
+    n_train = sum(len(y) for _x, y in train_fn())
+    n_val = sum(len(y) for _x, y in val_fn())
+    assert n_train == 5 and n_val == 1
+
+
+def test_config_txt_parser(tmp_path):
+    from nnc_tpu.utils.config_txt import load_config, scene_overrides
+    cfg = load_config(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "lego.txt"))
+    assert cfg["dataset_type"] == "blender"
+    assert cfg["N_importance"] == 128
+    assert cfg["white_bkgd"] is True
+    ov = scene_overrides(cfg)
+    assert ov["n_importance"] == 128 and ov["half_res"] is True
+
+
+def test_mock_nerf_evaluator():
+    from nnc_tpu.train import evaluation_nerf_mock as m
+    m.reset()
+    p0 = m.evaluate_nerf_model(mode="finite")
+    p1 = m.evaluate_nerf_model(mode="finite")
+    assert p1[0] > p0[0]
+    m.reset()
+    vals = [m.evaluate_nerf_model(mode="infinite")[0] for _ in range(10)]
+    assert all(b > a for a, b in zip(vals, vals[1:]))
+
+
+def test_throughput_meter():
+    from nnc_tpu.utils.profiling import Throughput
+    t = Throughput()
+    t.add(100)
+    assert t.rate() > 0
