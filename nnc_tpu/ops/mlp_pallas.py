@@ -150,9 +150,10 @@ def _inkernel_posenc(x, n_freqs, dtype):
     xr = pltpu.repeat(x, 2 * n_freqs, axis=1)  # (H, cols): d cycles fastest
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1)
     freq = jnp.exp2((col // 6).astype(jnp.float32))
-    is_sin = (col % 6) < 3
-    y = xr.astype(jnp.float32) * freq
-    sc = jnp.where(is_sin, jnp.sin(y), jnp.cos(y))
+    # cos(y) == sin(y + pi/2): one transcendental per column instead of
+    # computing both sin and cos then selecting
+    phase = jnp.where((col % 6) < 3, 0.0, np.pi / 2).astype(jnp.float32)
+    sc = jnp.sin(xr.astype(jnp.float32) * freq + phase)
     return jnp.concatenate([x.astype(jnp.float32), sc],
                            axis=-1).astype(dtype)
 
