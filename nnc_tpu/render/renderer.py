@@ -116,11 +116,12 @@ def render_chunk(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
 
 
 def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
-                 rc: RenderConfig, key=None, viewdirs=None):
+                 rc: RenderConfig, key=None, viewdirs=None, mesh=None):
     """Render an arbitrary set of rays by chunking (host loop, padded tail).
 
     rays_o/d: (N, 3) or (H, W, 3). Returns dict of host numpy arrays with
-    leading shape matching the input.
+    leading shape matching the input. With ``mesh`` the ray axis of each
+    chunk shards over the mesh's 'data' axis (multi-chip rendering).
     """
     lead_shape = rays_o.shape[:-1]
     ro = np.asarray(rays_o, np.float32).reshape(-1, 3)
@@ -129,6 +130,22 @@ def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
         np.asarray(viewdirs, np.float32).reshape(-1, 3)
     n = ro.shape[0]
     chunk = rc.chunk
+    if mesh is not None:
+        from ..parallel import data_sharding, replicate_params
+        ndata = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                             if a == "data"])) or 1
+        chunk = ((chunk + ndata - 1) // ndata) * ndata
+        sh = data_sharding(mesh)
+        put = lambda a: jax.device_put(jnp.asarray(a), sh)
+        params = replicate_params(mesh, params)
+        if params_fine is not None:
+            params_fine = replicate_params(mesh, params_fine)
+        if ls is not None:
+            ls = replicate_params(mesh, ls)
+        if ls_fine is not None:
+            ls_fine = replicate_params(mesh, ls_fine)
+    else:
+        put = jnp.asarray
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -144,9 +161,9 @@ def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
             if vd_c is not None:
                 vd_c = np.concatenate([vd_c, np.ones((pad, 3), np.float32)])
         res = render_chunk(params, params_fine, ls, ls_fine,
-                           jnp.asarray(ro_c), jnp.asarray(rd_c), near, far,
+                           put(ro_c), put(rd_c), near, far,
                            key, rc, True,
-                           None if vd_c is None else jnp.asarray(vd_c))
+                           None if vd_c is None else put(vd_c))
         # keep results on device: materializing per chunk would serialize
         # dispatch with device->host transfers
         outs.append(({k: v[:end - start] for k, v in res.items()

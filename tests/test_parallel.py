@@ -80,3 +80,19 @@ def test_graft_entry_compiles():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_multichip_render_matches_single():
+    from nnc_tpu.render import renderer as rdr
+    mlp = nerf.NeRFConfig(W=16)
+    rc = rdr.RenderConfig(mlp=mlp, n_samples=8, n_importance=4, chunk=16)
+    params = nerf.init_params(jax.random.PRNGKey(0), mlp)
+    rng = np.random.default_rng(1)
+    ro = rng.normal(0, 1, (40, 3)).astype(np.float32)
+    rd = (rng.normal(0, 0.3, (40, 3)) - [0, 0, 1]).astype(np.float32)
+    single = rdr.render_image(params, None, None, None, ro, rd, 2.0, 6.0, rc)
+    mesh = parallel.make_mesh(8, ("data",))
+    multi = rdr.render_image(params, None, None, None, ro, rd, 2.0, 6.0, rc,
+                             mesh=mesh)
+    np.testing.assert_allclose(single["rgb_map"], multi["rgb_map"],
+                               rtol=1e-5, atol=1e-6)
