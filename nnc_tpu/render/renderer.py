@@ -34,6 +34,10 @@ class RenderConfig:
     lindisp: bool = False
     chunk: int = 1024 * 32
     use_fused_mlp: bool = False  # Pallas fused inference kernel (TPU)
+    # EXPERIMENTAL: also fuse alpha compositing into the kernel. Correct in
+    # interpret mode but currently miscompiles on the axon/Mosaic backend
+    # (and loses perf to small ray tiles); off by default. See CLAUDE.md.
+    use_fused_compositing: bool = False
 
 
 def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig):
@@ -69,12 +73,29 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
     k_strat, k_pdf, k_noise0, k_noise1 = jax.random.split(key, 4)
     perturb = rc.perturb and not deterministic
 
+    # fully fused inference path: posenc+MLP+compositing in one Pallas kernel
+    use_full_fusion = False
+    if rc.use_fused_compositing and rc.use_fused_mlp and deterministic and \
+            rc.raw_noise_std == 0 and rc.multires == 10 and \
+            rc.multires_views == 4:
+        from ..ops import mlp_pallas
+        use_full_fusion = mlp_pallas.supports(rc.mlp)
+
+    def one_pass(p, l, z, noise_key):
+        if use_full_fusion:
+            from ..ops.mlp_pallas import fused_render_pass
+            o = fused_render_pass(p, l, rays_o, rays_d, viewdirs, z, rc.mlp)
+            if rc.white_bkgd:
+                o["rgb_map"] = o["rgb_map"] + (1.0 - o["acc_map"][..., None])
+            return o
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
+        raw = _query_mlp(p, l, pts, viewdirs, rc)
+        return raw2outputs(raw, z, rays_d, rc.raw_noise_std, rc.white_bkgd,
+                           noise_key=None if deterministic else noise_key)
+
     z_vals = stratified_samples(k_strat, near, far, rc.n_samples, n_rays,
                                 perturb, rc.lindisp)
-    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-    raw = _query_mlp(params, ls, pts, viewdirs, rc)
-    out = raw2outputs(raw, z_vals, rays_d, rc.raw_noise_std, rc.white_bkgd,
-                      noise_key=None if deterministic else k_noise0)
+    out = one_pass(params, ls, z_vals, k_noise0)
 
     ret = {}
     if rc.n_importance > 0:
@@ -87,13 +108,9 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
                                rc.n_importance, det=not perturb)
         z_samples = jax.lax.stop_gradient(z_samples)
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
-        pts = rays_o[..., None, :] + \
-            rays_d[..., None, :] * z_all[..., :, None]
         fine_p = params_fine if params_fine is not None else params
         fine_ls = ls_fine if params_fine is not None else ls
-        raw = _query_mlp(fine_p, fine_ls, pts, viewdirs, rc)
-        out = raw2outputs(raw, z_all, rays_d, rc.raw_noise_std, rc.white_bkgd,
-                          noise_key=None if deterministic else k_noise1)
+        out = one_pass(fine_p, fine_ls, z_all, k_noise1)
         ret["z_std"] = jnp.std(z_samples, axis=-1)
 
     ret["rgb_map"] = out["rgb_map"]
