@@ -392,9 +392,14 @@ def _decode_ndu(h, payload, approx_data, model_info, next_index):
     return used
 
 
-def decode(bitstream, model_info=None):
+def decode(bitstream, model_info=None, num_workers: int = 0):
     """Parse a full NNR bitstream. Returns (model_info, approx_data).
-    (reference: coder/__init__.py:620-673)"""
+    (reference: coder/__init__.py:620-673)
+
+    ``num_workers > 1`` decodes NDU payloads in a thread pool: each NDU is an
+    independent byte-delimited unit and the native CABAC decoder releases the
+    GIL, so decode scales across host cores (the reference is strictly
+    serial)."""
     if model_info is None:
         model_info = {}
     model_info.setdefault("parameter_type", {})
@@ -421,7 +426,7 @@ def decode(bitstream, model_info=None):
     data = bytes(bitstream)
     r = hls.BitReader(data)
     first = True
-    next_index = 0
+    ndus = []  # (header, payload) deferred for (possibly parallel) decode
     while r.byte_pos < len(data):
         h, payload_start, unit_end = syntax.decode_unit_header(r)
         utype = h["nnr_unit_type"]
@@ -441,10 +446,43 @@ def decode(bitstream, model_info=None):
             model_info["topology_compression_format"] = \
                 hls.TopologyCompressionFormat(h["topology_compression_format"])
         elif utype == hls.NnrUnitType.NNR_NDU:
-            payload = data[payload_start:unit_end]
+            ndus.append((h, data[payload_start:unit_end]))
+        r = hls.BitReader(data, unit_end)
+
+    if num_workers > 1 and len(ndus) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def decode_one(h_payload):
+            h, payload = h_payload
+            # private approx_data/model_info shards, merged in unit order
+            ad = {k: ({} if isinstance(v, dict) else v)
+                  for k, v in approx_data.items()}
+            mi = {"parameter_type": {}, "parameter_dimensions": {},
+                  "parameter_index": {}, "block_identifier": {}}
+            used = _decode_ndu(h, payload, ad, mi, 0)
+            return ad, mi, used
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            results = list(pool.map(decode_one, ndus))
+        next_index = 0
+        for ad, mi, used in results:
+            for key in ("approx_method", "qp", "dq_flag", "scan_order",
+                        "parameters", "compressed_parameter_types",
+                        "decomposition_rank", "g_number_of_rows",
+                        "codebooks", "codebooks_egk",
+                        "codebook_zero_offsets"):
+                approx_data[key].update(ad[key])
+            for key in ("parameter_type", "parameter_dimensions",
+                        "block_identifier"):
+                model_info[key].update(mi[key])
+            for name, idx in mi["parameter_index"].items():
+                model_info["parameter_index"][name] = next_index + idx
+            next_index += used
+    else:
+        next_index = 0
+        for h, payload in ndus:
             next_index += _decode_ndu(h, payload, approx_data, model_info,
                                       next_index)
-        r = hls.BitReader(data, unit_end)
 
     approx_data.pop("_mps_qp", None)
     return model_info, approx_data

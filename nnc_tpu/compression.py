@@ -293,9 +293,13 @@ def compress(parameter_dict,
     return None
 
 
-def decompress(bitstream_or_path, verbose=True, return_model_information=False):
+def decompress(bitstream_or_path, verbose=True, return_model_information=False,
+               num_workers=0):
     """Decode an NNR bitstream back to a parameter dict.
-    (reference: nnc/compression.py:566-672)"""
+    (reference: nnc/compression.py:566-672)
+
+    num_workers > 1 decodes independent NDUs across host threads (the
+    native decoder releases the GIL)."""
     timer = StageTimer(verbose)
     if isinstance(bitstream_or_path, (str, os.PathLike)):
         with open(bitstream_or_path, "rb") as f:
@@ -304,7 +308,8 @@ def decompress(bitstream_or_path, verbose=True, return_model_information=False):
         bitstream = bytes(bitstream_or_path)
 
     with timer.stage("DECODING"):
-        model_info, approx_data = coder.decode(bitstream)
+        model_info, approx_data = coder.decode(bitstream,
+                                               num_workers=num_workers)
 
     with timer.stage("RECONSTRUCTION"):
         approximator.rec(approx_data)

@@ -163,3 +163,17 @@ def test_compression_ratio_reasonable():
     raw = sum(v.nbytes for v in d.values())
     bitstream, _, _ = compress_params(d, qp=-24, block_map=make_block_map(d))
     assert len(bitstream) < raw / 3  # should compress far below fp32
+
+
+def test_parallel_ndu_decode_matches_serial():
+    rng = np.random.default_rng(9)
+    d = make_mlp_dict(rng, layers=4, width=24, in_dim=12)
+    bitstream, _, _ = compress_params(d, block_map=make_block_map(d))
+    mi1, ad1 = coder.decode(bitstream)
+    mi2, ad2 = coder.decode(bitstream, num_workers=4)
+    assert mi1["parameter_index"] == mi2["parameter_index"]
+    assert mi1["parameter_type"] == mi2["parameter_type"]
+    for name in ad1["parameters"]:
+        assert np.array_equal(ad1["parameters"][name],
+                              ad2["parameters"][name]), name
+        assert int(ad1["qp"].get(name, 0)) == int(ad2["qp"].get(name, 0))
