@@ -86,8 +86,51 @@ def load_scene(dataset_type: str, data_dir: str = None, half_res=True,
             "n_importance": 64,
             "dataset_type": "llff",
         }
+    if dataset_type == "deepvoxels":
+        from ..data.deepvoxels import load_dv_data
+        images, poses, render_poses, hwf, i_split = load_dv_data(
+            scene=os.environ.get("NNC_TPU_DV_SHAPE", "greek"),
+            basedir=data_dir, testskip=testskip)
+        i_train, _i_val, i_test = i_split
+        hemi_r = float(np.mean(np.linalg.norm(poses[:, :3, -1], axis=-1)))
+        H, W, focal = int(hwf[0]), int(hwf[1]), float(hwf[2])
+        K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]],
+                     np.float32)
+        return {
+            "images": images[..., :3].astype(np.float32),
+            "poses": poses[:, :3, :4],
+            "render_poses": render_poses[:, :3, :4],
+            "K": K, "H": H, "W": W,
+            "i_train": i_train, "i_test": i_test,
+            "near": hemi_r - 1.0, "far": hemi_r + 1.0,
+            "white_bkgd": False, "ndc": False,
+            "batching_mode": "image",
+            "raw_noise_std": 0.0,
+            "n_importance": 128,
+            "dataset_type": "deepvoxels",
+        }
+    if dataset_type == "LINEMOD":
+        from ..data.linemod import load_LINEMOD_data
+        images, poses, render_poses, hwf, K, i_split, near, far = \
+            load_LINEMOD_data(data_dir, half_res=half_res, testskip=testskip)
+        i_train, _i_val, i_test = i_split
+        H, W = int(hwf[0]), int(hwf[1])
+        return {
+            "images": images[..., :3].astype(np.float32),
+            "poses": poses[:, :3, :4],
+            "render_poses": np.asarray(render_poses)[:, :3, :4],
+            "K": np.asarray(K, np.float32), "H": H, "W": W,
+            "i_train": i_train, "i_test": i_test,
+            "near": float(near), "far": float(far),
+            "white_bkgd": False, "ndc": False,
+            "batching_mode": "image",
+            "raw_noise_std": 0.0,
+            "n_importance": 128,
+            "dataset_type": "LINEMOD",
+        }
     raise ValueError(f"dataset_type '{dataset_type}' is not implemented "
-                     "(expected 'blender', 'llff', or pass scene=...)")
+                     "(expected 'blender', 'llff', 'deepvoxels', 'LINEMOD', "
+                     "or pass scene=...)")
 
 
 def load_scene_from_config(config_path: str, data_dir: str = None):
