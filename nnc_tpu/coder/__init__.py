@@ -340,8 +340,12 @@ def _decode_ndu(h, payload, approx_data, model_info, next_index):
         # reconstructed state dict keeps framework-native ordering
         reg_order = []
         if cpt & _CPT.NNR_CPT_DC:
-            reg_order += [(names["dc_g"], "weight", g_dims),
-                          (names["dc_h"], "weight", h_dims)]
+            # phantom anchor for the recomposed weight (block access resolves
+            # the block's "weight" through it; recompose_params materializes
+            # it); the factors themselves must not claim the weight slot.
+            reg_order += [(names["w"], "weight", dims),
+                          (names["dc_g"], "unspecified", g_dims),
+                          (names["dc_h"], "unspecified", h_dims)]
         else:
             reg_order += [(names["w"], "weight", dims)]
         if cpt & _CPT.NNR_CPT_BI:

@@ -198,9 +198,14 @@ def compress(parameter_dict,
              model=None,
              model_executer=None,
              verbose=True,
-             return_bitstream=False):
+             return_bitstream=False,
+             decompose_rank=None,
+             decompose_energy=None):
     """Compress a flat parameter dict. (reference: nnc/compression.py:318-563)
-    """
+
+    decompose_rank/decompose_energy enable low-rank (G/H) weight
+    factorization before quantization (extension; the NNR DC block syntax is
+    fully supported on decode either way)."""
     timer = StageTimer(verbose)
 
     if model is not None and model.model_info is not None:
@@ -240,6 +245,12 @@ def compress(parameter_dict,
     with timer.stage("INITIALIZE APPROX DATA"):
         approx_data = approximator.init_approx_data(
             parameters, model_info, qp_density, scan_order)
+
+    if decompose_rank is not None or decompose_energy is not None:
+        with timer.stage("LOW-RANK DECOMPOSITION"):
+            approximator.decompose_params(
+                model_info, approx_data, rank=decompose_rank,
+                energy=decompose_energy if decompose_energy else 0.9)
 
     with timer.stage("PREPROCESS QPs"):
         ap_info = approximator.ApproxInfo(

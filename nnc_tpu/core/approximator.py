@@ -185,6 +185,52 @@ def unfold_bn(model_info, approx_data):
 
 
 # ---------------------------------------------------------------------------
+# Low-rank decomposition (DC): producer for the G/H path
+# ---------------------------------------------------------------------------
+def decompose_params(model_info, approx_data, rank=None, energy=0.9,
+                     min_gain=1.1):
+    """Replace block weights by truncated-SVD factors ``<w>_G`` (out, r) and
+    ``<w>_H`` (r, in') when the factorization is at least ``min_gain`` times
+    smaller. The reference supports coding/decoding DC blocks but ships no
+    producer (inherited from NNCodec); this supplies one. ``rank=None``
+    chooses the smallest rank capturing ``energy`` of the spectrum."""
+    model_access = NNRModelAccess(model_info)
+    for block_access in model_access.blocks_and_params():
+        block_id = block_access.block_id
+        if block_id is None:
+            continue
+        cpt = approx_data["compressed_parameter_types"][block_id]
+        if cpt & hls.BlockParameterTypes.NNR_CPT_DC:
+            continue
+        w_name = block_access.w
+        w = approx_data["parameters"][w_name]
+        if w.ndim < 2:
+            continue
+        mat = w.reshape(w.shape[0], -1)
+        u, s, vt = np.linalg.svd(mat, full_matrices=False)
+        if rank is None:
+            cum = np.cumsum(s ** 2) / max(1e-12, np.sum(s ** 2))
+            r = int(np.searchsorted(cum, energy) + 1)
+        else:
+            r = int(min(rank, s.size))
+        if mat.size < min_gain * r * (mat.shape[0] + mat.shape[1]):
+            continue  # factorization not worth it for this tensor
+        g = (u[:, :r] * s[:r]).astype(np.float32)
+        h = vt[:r].astype(np.float32)
+        del approx_data["parameters"][w_name]
+        approx_data["parameters"][w_name + "_G"] = g
+        approx_data["parameters"][w_name + "_H"] = h
+        approx_data["compressed_parameter_types"][block_id] = \
+            cpt + hls.BlockParameterTypes.NNR_CPT_DC
+        approx_data["decomposition_rank"][block_id] = r
+        approx_data["g_number_of_rows"][block_id] = g.shape[0]
+        if w.ndim > 1:
+            so = approx_data["scan_order"].pop(w_name, np.int32(0))
+            approx_data["scan_order"][w_name + "_G"] = so
+            approx_data["scan_order"][w_name + "_H"] = so
+
+
+# ---------------------------------------------------------------------------
 # LSA
 # ---------------------------------------------------------------------------
 def set_lsa(model_info, approx_data, lsa_params):
