@@ -40,9 +40,14 @@ class RenderConfig:
     use_fused_compositing: bool = False
 
 
-def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig):
-    """posenc + MLP over (R, S, 3) points. Returns raw (R, S, 4)."""
-    if rc.use_fused_mlp and rc.multires == 10 and rc.multires_views == 4:
+def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig,
+               allow_fused: bool = True):
+    """posenc + MLP over (R, S, 3) points. Returns raw (R, S, 4).
+
+    allow_fused=False forces the XLA path (the Pallas kernel defines no VJP,
+    so training/differentiation must not route through it)."""
+    if allow_fused and rc.use_fused_mlp and rc.multires == 10 and \
+            rc.multires_views == 4:
         # fully fused path: posenc happens inside the Pallas kernel
         from ..ops.mlp_pallas import fused_nerf_mlp_from_points
         return fused_nerf_mlp_from_points(params, ls, pts,
@@ -55,7 +60,7 @@ def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig):
         ve = positional_encoding(viewdirs, rc.multires_views)
         views_emb = jnp.broadcast_to(ve[..., None, :],
                                      pts.shape[:-1] + (ve.shape[-1],))
-    if rc.use_fused_mlp:
+    if allow_fused and rc.use_fused_mlp:
         from ..ops.mlp_pallas import fused_nerf_mlp
         return fused_nerf_mlp(params, ls, pts_emb, views_emb, rc.mlp)
     return nerf.apply_mlp(params, pts_emb, views_emb, rc.mlp, ls=ls)
@@ -89,7 +94,9 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
                 o["rgb_map"] = o["rgb_map"] + (1.0 - o["acc_map"][..., None])
             return o
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
-        raw = _query_mlp(p, l, pts, viewdirs, rc)
+        # the fused kernel is inference-only (no VJP): training renders
+        # (deterministic=False) take the differentiable XLA path
+        raw = _query_mlp(p, l, pts, viewdirs, rc, allow_fused=deterministic)
         return raw2outputs(raw, z, rays_d, rc.raw_noise_std, rc.white_bkgd,
                            noise_key=None if deterministic else noise_key)
 

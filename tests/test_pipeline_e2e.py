@@ -145,3 +145,32 @@ def test_lsa_resume_from_checkpoint(tmp_path):
     # tuned scales started from the checkpoint's 1.25, not 1.0
     some = next(iter(lsa_params.values()))
     assert abs(float(np.mean(some)) - 1.25) < 0.05
+
+
+def test_ndc_llff_style_lsa_smoke(tmp_path):
+    """NDC path: viewdirs from pre-warp dirs, rays warped to NDC space."""
+    scene, (tc, tf_) = synthetic.make_scene(
+        n_images=3, H=8, W=8, mlp=MLP,
+        rc=renderer.RenderConfig(mlp=MLP, n_samples=8, n_importance=4,
+                                 chunk=64))
+    # llff-flavored scene: NDC bounds [0,1], pooled ray batching
+    scene.update({"ndc": True, "near": 0.0, "far": 1.0,
+                  "batching_mode": "pool", "n_importance": 4,
+                  "raw_noise_std": 0.0, "dataset_type": "llff"})
+    sd = {}
+    sd.update(nerf.params_to_state_dict(tc, "model."))
+    sd.update(nerf.params_to_state_dict(tf_, "model_fine."))
+
+    run_dir = tmp_path / "run" / "bitstream"
+    run_dir.mkdir(parents=True)
+    bs_path = str(run_dir / "b.nnc")
+    nnc_tpu.compress_model(
+        sd, bitstream_path=bs_path, qp=-24, lsa=True, verbose=False,
+        task_type="NeRF", scene=scene, mlp_config=MLP,
+        N_iters=3, epochs=1, i_save=0, learning_rate=1e-3,
+        learning_rate_decay=0)
+    rec = nnc_tpu.decompress(bs_path, verbose=False)
+    assert set(rec.keys()) == set(sd.keys())
+    from nnc_tpu.utils.logging import read_result_file
+    psnr, loss = read_result_file(str(tmp_path / "run" / "result.txt"))
+    assert len(loss) == 3 and all(np.isfinite(loss))
