@@ -96,3 +96,27 @@ def test_multichip_render_matches_single():
                              mesh=mesh)
     np.testing.assert_allclose(single["rgb_map"], multi["rgb_map"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_training_with_fused_flag_on_flagship_config():
+    """Regression: use_fused_mlp=True must not route training through the
+    (non-differentiable) Pallas kernel on the flagship architecture."""
+    import optax
+    from nnc_tpu.render import renderer as rdr
+    from nnc_tpu.train import lsa
+    mlp = nerf.NeRFConfig()  # flagship: fused kernel supports() is True
+    rc = rdr.RenderConfig(mlp=mlp, n_samples=4, n_importance=2, chunk=8,
+                          use_fused_mlp=True)
+    key = jax.random.PRNGKey(0)
+    params = (nerf.init_params(key, mlp),
+              nerf.init_params(jax.random.fold_in(key, 1), mlp))
+    scales = (nerf.init_lsa_scales(mlp), nerf.init_lsa_scales(mlp))
+    opt = optax.adam(1e-3)
+    step = lsa.make_train_step(rc, opt)
+    rng = np.random.default_rng(0)
+    ro = jnp.asarray(rng.normal(0, 0.1, (8, 3)).astype(np.float32))
+    rd = jnp.asarray((rng.normal(0, 0.2, (8, 3)) - [0, 0, 1]).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (8, 3)).astype(np.float32))
+    out = step(scales, opt.init(scales), params, ro, rd, None, tgt,
+               2.0, 6.0, key)
+    assert np.isfinite(float(out[2]))
