@@ -56,4 +56,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # always emit a recordable line
+        print(json.dumps({
+            "metric": "render_rays_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+        }))
+        raise

@@ -49,15 +49,19 @@ static inline double stepsize_from_qp(int qp, int qp_density) {
 // Context model: two-window adaptive probability (15-bit), P(bin==1).
 // ----------------------------------------------------------------------------
 struct Ctx {
-  uint16_t a, b;  // fast (rate 4) and slow (rate 7) estimators
+  uint16_t a, b;  // fast and slow estimators (rates set per tensor)
   void init() { a = 1 << 14; b = 1 << 14; }
   inline uint32_t prob() const { return ((uint32_t)a + (uint32_t)b) >> 1; }
-  inline void update(int bin) {
+  inline void update(int bin, int as, int bs) {
     const int t = bin << 15;
-    a = (uint16_t)(a + ((t - (int)a) >> 4));
-    b = (uint16_t)(b + ((t - (int)b) >> 7));
+    a = (uint16_t)(a + ((t - (int)a) >> as));
+    b = (uint16_t)(b + ((t - (int)b) >> bs));
   }
 };
+
+// context-parameter profiles selectable per tensor (2 signaled bits);
+// profile 0 is the default used when param_opt is off.
+static const int kCtxProfiles[4][2] = {{4, 7}, {3, 6}, {5, 8}, {2, 5}};
 
 static const uint32_t kTopValue = 1u << 24;
 
@@ -94,8 +98,8 @@ struct RangeEncoder {
     low = (uint32_t)low << 8;
   }
 
-  inline void encode_bin(Ctx& ctx, int bin) {
-    const uint32_t p = ctx.prob();  // 15-bit P(bin==1), in [?,?]; clamp below
+  inline void encode_bin(Ctx& ctx, int bin, int as, int bs) {
+    const uint32_t p = ctx.prob();  // 15-bit P(bin==1), clamped below
     uint32_t p1 = p < 128 ? 128 : (p > 32640 ? 32640 : p);
     const uint32_t bound = (range >> 15) * p1;
     if (bin) {
@@ -104,7 +108,7 @@ struct RangeEncoder {
       low += bound;
       range -= bound;
     }
-    ctx.update(bin);
+    ctx.update(bin, as, bs);
     while (range < kTopValue) {
       range <<= 8;
       shift_low();
@@ -151,7 +155,7 @@ struct RangeDecoder {
     for (int i = 0; i < 4; ++i) code = (code << 8) | next_byte();
   }
 
-  inline int decode_bin(Ctx& ctx) {
+  inline int decode_bin(Ctx& ctx, int as, int bs) {
     const uint32_t p = ctx.prob();
     uint32_t p1 = p < 128 ? 128 : (p > 32640 ? 32640 : p);
     const uint32_t bound = (range >> 15) * p1;
@@ -164,7 +168,7 @@ struct RangeDecoder {
       code -= bound;
       range -= bound;
     }
-    ctx.update(bin);
+    ctx.update(bin, as, bs);
     while (range < kTopValue) {
       range <<= 8;
       code = (code << 8) | next_byte();
@@ -222,6 +226,12 @@ struct TensorCtxs {
   // adaptive Rice order state for remainders
   uint64_t rem_sum = 0;
   uint64_t rem_cnt = 0;
+  int a_shift = 4, b_shift = 7;  // adaptation-rate profile
+
+  void set_profile(int p) {
+    a_shift = kCtxProfiles[p & 3][0];
+    b_shift = kCtxProfiles[p & 3][1];
+  }
 
   void init(int unary_len) {
     sig.assign(10, Ctx());
@@ -231,6 +241,8 @@ struct TensorCtxs {
     for (auto& c : gt) c.init();
     rem_sum = 0;
     rem_cnt = 0;
+    a_shift = 4;
+    b_shift = 7;
   }
 
   inline int rice_order() const {
@@ -273,15 +285,16 @@ static uint32_t decode_eg(RangeDecoder& rc, int g) {
 // Encode a single quantized value.
 static inline void encode_value(RangeEncoder& rc, TensorCtxs& cx, int32_t q,
                                 int sig_ctx, int unary_len) {
-  rc.encode_bin(cx.sig[sig_ctx], q != 0);
+  const int as = cx.a_shift, bs = cx.b_shift;
+  rc.encode_bin(cx.sig[sig_ctx], q != 0, as, bs);
   if (q == 0) return;
-  rc.encode_bin(cx.sign, q < 0);
+  rc.encode_bin(cx.sign, q < 0, as, bs);
   uint32_t m1 = (uint32_t)(std::llabs((long long)q) - 1);  // magnitude-1 >= 0
   const int K = unary_len;
   int j = 0;
   for (; j < K; ++j) {
     const int more = m1 > (uint32_t)j;
-    rc.encode_bin(cx.gt[j], more);
+    rc.encode_bin(cx.gt[j], more, as, bs);
     if (!more) break;
   }
   if (j == K) {
@@ -293,13 +306,14 @@ static inline void encode_value(RangeEncoder& rc, TensorCtxs& cx, int32_t q,
 
 static inline int32_t decode_value(RangeDecoder& rc, TensorCtxs& cx,
                                    int sig_ctx, int unary_len) {
-  if (!rc.decode_bin(cx.sig[sig_ctx])) return 0;
-  const int neg = rc.decode_bin(cx.sign);
+  const int as = cx.a_shift, bs = cx.b_shift;
+  if (!rc.decode_bin(cx.sig[sig_ctx], as, bs)) return 0;
+  const int neg = rc.decode_bin(cx.sign, as, bs);
   uint32_t m1 = 0;
   const int K = unary_len;
   int j = 0;
   for (; j < K; ++j) {
-    if (rc.decode_bin(cx.gt[j]))
+    if (rc.decode_bin(cx.gt[j], as, bs))
       m1 = (uint32_t)j + 1;
     else
       break;
@@ -485,35 +499,69 @@ struct Decoder {
   }
 };
 
-// Encode one full int32 tensor as chunked segments.
+// Encode one full int32 tensor as chunked segments. A 2-bit context-
+// parameter profile is signaled at the start of every tensor; with
+// param_opt the encoder trial-encodes all profiles and keeps the smallest.
+static void encode_tensor_bins(RangeEncoder& rc, TensorCtxs& cx,
+                               const int32_t* v, int64_t r0, int64_t r1,
+                               int64_t w, int dq_flag, int unary_len) {
+  int state = 0;
+  int prev_sig = 0;
+  for (int64_t i = r0 * w; i < r1 * w; ++i) {
+    const int32_t q = v[i];
+    encode_value(rc, cx, q, sig_ctx_of(dq_flag, state, prev_sig), unary_len);
+    prev_sig = q != 0;
+    if (dq_flag) state = kStateTrans[state][(int)(std::llabs((long long)q) & 1)];
+  }
+}
+
 static void encode_layer_impl(Encoder& E, const int32_t* v, int64_t h,
                               int64_t w, int dq_flag, int scan_order) {
-  const int64_t n = h * w;
   const int64_t chunks = num_chunks(h, w, scan_order);
   const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
   const int64_t layer_start = (int64_t)E.stream.size();
   E.entry_points.clear();
+
+  int profile = 0;
+  if (E.param_opt) {
+    size_t best = (size_t)-1;
+    for (int p = 0; p < 4; ++p) {
+      std::vector<uint8_t> scratch;
+      RangeEncoder trc;
+      TensorCtxs tcx;
+      size_t total = 0;
+      for (int64_t c = 0; c < chunks; ++c) {
+        scratch.clear();
+        trc.start(&scratch);
+        tcx.init(E.unary_len);
+        tcx.set_profile(p);
+        const int64_t r0 = c * bh;
+        const int64_t r1 = std::min(h, r0 + bh);
+        encode_tensor_bins(trc, tcx, v, r0, r1, w, dq_flag, E.unary_len);
+        trc.flush();
+        total += scratch.size();
+      }
+      if (total < best) {
+        best = total;
+        profile = p;
+      }
+    }
+  }
 
   for (int64_t c = 0; c < chunks; ++c) {
     if (c > 0) {
       // independent chunk: record offset, reset engine + contexts
       E.close_engine();
       const uint64_t off = (uint64_t)((int64_t)E.stream.size() - layer_start);
-      E.entry_points.push_back((off << 11));  // value/dq_state fields unused (reset)
+      E.entry_points.push_back((off << 11));  // value/state fields unused
       E.cx.init(E.unary_len);
     }
     E.ensure_open();
+    if (c == 0) E.rc.encode_bypass_bits((uint32_t)profile, 2);
+    E.cx.set_profile(profile);
     const int64_t r0 = c * bh;
     const int64_t r1 = std::min(h, r0 + bh);
-    int state = 0;
-    int prev_sig = 0;
-    for (int64_t i = r0 * w; i < r1 * w; ++i) {
-      const int32_t q = v[i];
-      encode_value(E.rc, E.cx, q, sig_ctx_of(dq_flag, state, prev_sig),
-                   E.unary_len);
-      prev_sig = q != 0;
-      if (dq_flag) state = kStateTrans[state][(int)(std::llabs((long long)q) & 1)];
-    }
+    encode_tensor_bins(E.rc, E.cx, v, r0, r1, w, dq_flag, E.unary_len);
     if (chunks > 1) E.close_engine();
   }
 }
@@ -525,6 +573,7 @@ static void decode_layer_impl(Decoder& D, int32_t* v, int64_t h, int64_t w,
   const int64_t layer_start = D.segment_start;
   if (create_eps) D.entry_points.clear();
 
+  int profile = 0;
   for (int64_t c = 0; c < chunks; ++c) {
     if (c > 0) {
       D.close_engine();
@@ -535,6 +584,8 @@ static void decode_layer_impl(Decoder& D, int32_t* v, int64_t h, int64_t w,
       D.cx.init(D.unary_len);
     }
     D.ensure_open();
+    if (c == 0) profile = (int)D.rc.decode_bypass_bits(2);
+    D.cx.set_profile(profile);
     const int64_t r0 = c * bh;
     const int64_t r1 = std::min(h, r0 + bh);
     int state = 0;

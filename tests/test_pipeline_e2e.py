@@ -174,3 +174,31 @@ def test_ndc_llff_style_lsa_smoke(tmp_path):
     from nnc_tpu.utils.logging import read_result_file
     psnr, loss = read_result_file(str(tmp_path / "run" / "result.txt"))
     assert len(loss) == 3 and all(np.isfinite(loss))
+
+
+def test_i_save_checkpoints_and_renders(tmp_path):
+    """i_save cadence: mid-tune checkpoints + testset renders are written."""
+    scene, (tc, tf_) = synthetic.make_scene(
+        n_images=2, H=8, W=8, mlp=MLP,
+        rc=renderer.RenderConfig(mlp=MLP, n_samples=8, n_importance=4,
+                                 chunk=64))
+    scene["n_importance"] = 4
+    sd = {}
+    sd.update(nerf.params_to_state_dict(tc, "model."))
+    sd.update(nerf.params_to_state_dict(tf_, "model_fine."))
+
+    run_dir = tmp_path / "run" / "bitstream"
+    run_dir.mkdir(parents=True)
+    bs_path = str(run_dir / "b.nnc")
+    nnc_tpu.compress_model(
+        sd, bitstream_path=bs_path, qp=-24, lsa=True, verbose=False,
+        task_type="NeRF", scene=scene, mlp_config=MLP,
+        N_iters=4, epochs=1, i_save=2, learning_rate=1e-3,
+        learning_rate_decay=0)
+    rec_dir = tmp_path / "run" / "reconstructed"
+    ckpts = sorted(p.name for p in rec_dir.glob("ckpt_step*.pt"))
+    assert "ckpt_step1.pt" in ckpts  # first-step save
+    assert "ckpt_step2.pt" in ckpts and "ckpt_step4.pt" in ckpts
+    # testset renders written as PNGs
+    t1 = tmp_path / "run" / "testset_step2"
+    assert t1.is_dir() and list(t1.glob("*.png"))
