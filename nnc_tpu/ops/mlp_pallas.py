@@ -213,6 +213,13 @@ def _fused_call(packed, biases, emb, interpret=False):
     return out
 
 
+def _render_ray_tile(s):
+    """Ray-tile for the fused-compositing kernel: ~2*TILE points, and a
+    multiple of 16 so the two half-tiles stay sublane-aligned (4-row ref
+    slices miscompile on Mosaic)."""
+    return 16  # 16 rays/tile keeps MLP+compositing within scoped VMEM
+
+
 def _scan_lanes_inclusive(x, s):
     """Exact f32 inclusive cumsum along the lane axis (Hillis-Steele
     shift-add; jnp.cumsum is not lowered by Mosaic and a triangular matmul
@@ -280,7 +287,7 @@ def _fused_render_call(packed, biases, ptsdir, dists, z_vals, s,
     from jax.experimental.pallas import tpu as pltpu
 
     n_rays = dists.shape[0]
-    r_t = max(8, (TILE // s) // 8 * 8)  # sublane-aligned ray tile
+    r_t = _render_ray_tile(s)
     assert n_rays % r_t == 0, (n_rays, r_t)
     grid = (n_rays // r_t,)
     w_order = ["w0", "w1", "w2", "w3", "w4", "w5a", "w5b", "w6", "w7",
@@ -343,7 +350,7 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     packed, biases = _pack_weights(params, ls, dtype)
 
     # pad rays to the ray-tile multiple
-    r_t = max(8, (TILE // s) // 8 * 8)
+    r_t = _render_ray_tile(s)
     n_pad = ((n_rays + r_t - 1) // r_t) * r_t
     if n_pad != n_rays:
         pad = n_pad - n_rays
