@@ -120,9 +120,10 @@ def fold_bn(model_info, approx_data, ap_info):
             ad[delta] = np.zeros(bn_shape, dtype=np.float32)
             approx_data["compressed_parameter_types"][block_id] += \
                 hls.BlockParameterTypes.NNR_CPT_BI
-            if ap_info.approx_info["approx_method"] == "uniform":
-                ap_info.approx_info["qp"][delta] = ap_info.qp_other
-                ap_info.approx_info["dq_flag"][delta] = dq_flag
+            # companions are always uniform-coded here (codebook applies to
+            # weights only), so assign qp/dq regardless of approx_method
+            ap_info.approx_info["qp"][delta] = ap_info.qp_other
+            ap_info.approx_info["dq_flag"][delta] = dq_flag
 
         alpha = block_access.ls
         assert (cpt & hls.BlockParameterTypes.NNR_CPT_LS == 0) == \
@@ -131,9 +132,8 @@ def fold_bn(model_info, approx_data, ap_info):
             ad[alpha] = np.ones(bn_shape, dtype=np.float32)
             approx_data["compressed_parameter_types"][block_id] += \
                 hls.BlockParameterTypes.NNR_CPT_LS
-            if ap_info.approx_info["approx_method"] == "uniform":
-                ap_info.approx_info["qp"][alpha] = ap_info.qp_lsa
-                ap_info.approx_info["dq_flag"][alpha] = dq_flag
+            ap_info.approx_info["qp"][alpha] = ap_info.qp_lsa
+            ap_info.approx_info["dq_flag"][alpha] = dq_flag
 
         g = ad[block_access.bn_gamma] / np.sqrt(ad[block_access.bn_var] + eps)
         del_param(approx_data, ap_info.approx_info, block_access.bn_gamma)

@@ -129,7 +129,7 @@ class NeRFModelExecuter(ModelExecute):
                                    [len("ckpt_step"):-3])
                 import torch
                 sd = {k: v.numpy() for k, v in
-                      torch.load(latest, map_location="cpu").items()}
+                      torch.load(latest, map_location="cpu", weights_only=True).items()}
                 _pc, _pf, ls_c, ls_f = self._split_params(sd)
                 if self.verbose:
                     print(f"INFO: resuming LSA from step {global_step0} "

@@ -202,7 +202,7 @@ def create_NNC_model_instance_from_object(model_object):
 
 def create_NNC_model_instance_from_file(model_path):
     torch = _torch()
-    loaded = torch.load(model_path, map_location="cpu")
+    loaded = torch.load(model_path, map_location="cpu", weights_only=True)
     if isinstance(loaded, dict) and "state_dict" in loaded:
         loaded = loaded["state_dict"]
     nnc_mdl = TorchModel()

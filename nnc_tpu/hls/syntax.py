@@ -233,7 +233,12 @@ def _read_ndu(r: BitReader, h: dict) -> None:
             n_lists = 2 if (pt == _PT.NNR_PT_BLOCK and
                             (h.get("compressed_parameter_types", 0) &
                              BlockParameterTypes.NNR_CPT_DC)) else 1
-            dq = int(h["dq_flag"])
+            # The weight/G/H lists describe the *tensor's* arithmetic-engine
+            # state: codebook-indexed tensors always code with dq=0, so their
+            # EP lists carry no dq_state field regardless of the unit header's
+            # dq_flag (which describes the uniform-coded companions). Mirrors
+            # the encoder (coder/__init__.py:_encode_ndu_payload).
+            dq = 0 if h.get("codebook_present_flag") else int(h["dq_flag"])
             lists = []
             for _ in range(n_lists):
                 n = r.ue(5)

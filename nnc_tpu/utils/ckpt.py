@@ -23,7 +23,7 @@ def load_nerf_tar(ckpt_path):
     Returns dict with keys: network_fn (dict), network_fine (dict),
     global_step (int)."""
     torch = _torch()
-    ckpt = torch.load(ckpt_path, map_location="cpu")
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=True)
     to_np = lambda sd: OrderedDict(
         (k, v.detach().cpu().numpy() if hasattr(v, "detach")
          else np.asarray(v)) for k, v in sd.items())
@@ -75,7 +75,7 @@ def wrapper_dict_to_nerf_tar(wrapper_dict, ckpt_path, global_step=200000):
 def convert_nerfwrapper_to_nerf_ckpt(nerfwrapper_path, ckpt_path):
     """``.pt`` (flat wrapper state dict) -> ``.tar``."""
     torch = _torch()
-    loaded = torch.load(nerfwrapper_path, map_location="cpu")
+    loaded = torch.load(nerfwrapper_path, map_location="cpu", weights_only=True)
     wrapper_dict_to_nerf_tar(loaded, ckpt_path)
     print(f"Saved the checkpoint in standard nerf_ckpt format to {ckpt_path}")
 
@@ -87,7 +87,7 @@ def change_extension_to_tar(model_path: str) -> str:
 
 def convert_tar_to_pt(tar_file_path, pt_file_path):
     torch = _torch()
-    ckpt = torch.load(tar_file_path, map_location="cpu")
+    ckpt = torch.load(tar_file_path, map_location="cpu", weights_only=True)
     torch.save({
         "global_step": ckpt["global_step"],
         "network_fn_state_dict": ckpt["network_fn_state_dict"],

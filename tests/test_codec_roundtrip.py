@@ -165,6 +165,103 @@ def test_compression_ratio_reasonable():
     assert len(bitstream) < raw / 3  # should compress far below fp32
 
 
+@pytest.mark.parametrize("codebook_mode", [0, 1, 2])
+@pytest.mark.parametrize("use_dq", [False, True])
+@pytest.mark.parametrize("scan_order", [0, 1])
+@pytest.mark.parametrize("with_blocks", [False, True])
+def test_roundtrip_matrix(codebook_mode, use_dq, scan_order, with_blocks):
+    """Exhaustive config cross product; guards the EP-list dq desync that a
+    codebook weight + DQ companions + scan_order>0 block once triggered."""
+    rng = np.random.default_rng(7)
+    d = make_mlp_dict(rng, layers=2, width=40, in_dim=24)
+    block_map = make_block_map(d) if with_blocks else None
+    bitstream, _, ad_enc = compress_params(
+        d, qp=-24, use_dq=use_dq, scan_order=scan_order,
+        codebook_mode=codebook_mode, block_map=block_map)
+    dec_info, ad_dec = coder.decode(bitstream)
+    assert set(ad_dec["parameters"].keys()) == set(d.keys())
+    for name in d:
+        assert np.array_equal(ad_dec["parameters"][name],
+                              ad_enc["parameters"][name]), name
+        assert ad_dec["approx_method"][name] == \
+            ad_enc["approx_method"][name], name
+    approximator.rec(ad_dec)
+    for name in d:
+        assert np.isfinite(ad_dec["parameters"][name]).all(), name
+
+
+@pytest.mark.parametrize("scan_order", [0, 1])
+def test_roundtrip_dc_block_with_codebook_and_dq(scan_order):
+    """DC (G/H) factors + codebook + DQ companions + entry points."""
+    rng = np.random.default_rng(8)
+    # low-rank-ish weight so decompose_params keeps the factorization
+    u = rng.normal(0, 0.3, (48, 4)).astype(np.float32)
+    v = rng.normal(0, 0.3, (4, 40)).astype(np.float32)
+    d = {"net.0.weight": u @ v,
+         "net.0.bias": rng.normal(0, 0.01, (48,)).astype(np.float32)}
+    block_map = make_block_map(d)
+
+    nnc_mdl = nnr_model.NNRModel(d)
+    params = nnc_mdl.init_model_from_dict(d)
+    model_info = nnc_mdl.model_info
+    model_info["topology_storage_format"] = hls.TopologyStorageFormat.NNR_TPL_PYT
+    nnr_model.set_block_id_and_param_type(model_info, block_map)
+    approx_data = approximator.init_approx_data(params, model_info, 2,
+                                                scan_order)
+    approximator.decompose_params(model_info, approx_data, rank=4)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 1, -24, False, False, 10, 0.0)
+    ad_enc = approximator.approx(ap_info.approx_info, model_info, approx_data,
+                                 verbose=False)
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    bitstream = coder.encode(enc_info, model_info, ad_enc)
+
+    dec_info, ad_dec = coder.decode(bitstream)
+    approximator.rec(ad_dec)
+    ad_final = approximator.recompose_params(dec_info, ad_dec)
+    assert ad_final["parameters"]["net.0.weight"].shape == (48, 40)
+    err = np.abs(ad_final["parameters"]["net.0.weight"] - d["net.0.weight"])
+    assert err.max() < 0.1
+
+
+def test_bnf_with_codebook_compresses():
+    """fold_bn must assign qp/dq to its created delta/alpha tensors even with
+    codebook_mode>0 (companions are always uniform-coded here)."""
+    from nnc_tpu import compression
+    rng = np.random.default_rng(10)
+    d = {
+        "conv.weight": rng.normal(0, 0.1, (8, 4, 3, 3)).astype(np.float32),
+        "bn.weight": (1 + rng.normal(0, 0.05, (8,))).astype(np.float32),
+        "bn.bias": rng.normal(0, 0.01, (8,)).astype(np.float32),
+        "bn.running_mean": rng.normal(0, 0.01, (8,)).astype(np.float32),
+        "bn.running_var": (1 + rng.normal(0, 0.05, (8,))).astype(np.float32),
+    }
+    block_map = {
+        "block_identifier": {k: "conv" for k in d},
+        "parameter_type": {
+            "conv.weight": "weight", "bn.weight": "bn.gamma",
+            "bn.bias": "bn.beta", "bn.running_mean": "bn.mean",
+            "bn.running_var": "bn.var",
+        },
+    }
+    bs = compression.compress(d, bitstream_path=None, qp=-24, bnf=True,
+                              codebook_mode=1, block_id_and_param_type=block_map,
+                              verbose=False, return_bitstream=True)
+    rec, _ = compression.decompress(bs, verbose=False,
+                                    return_model_information=True)
+    # pure-bitstream decode of a BN-folded model yields the folded form
+    # (BN restoration needs external model_info, matching the reference)
+    assert "conv.weight" in rec
+    ls = [n for n in rec if n.endswith("_scaling")]
+    assert not ls  # apply_lsa folded the alpha scales into the weight
+    for v in rec.values():
+        assert np.isfinite(v).all()
+    # folded conv output must approximate the original conv+BN affine
+    g = d["bn.weight"] / np.sqrt(d["bn.running_var"] + 1e-5)
+    expect_w = d["conv.weight"] * g[:, None, None, None]
+    assert np.abs(rec["conv.weight"] - expect_w).max() < 0.05
+
+
 def test_parallel_ndu_decode_matches_serial():
     rng = np.random.default_rng(9)
     d = make_mlp_dict(rng, layers=4, width=24, in_dim=12)
