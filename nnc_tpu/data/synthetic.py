@@ -56,6 +56,43 @@ def _activate(params, seed):
     return params
 
 
+def make_solid_mlp(config=None, radius: float = 1.5, density: float = 100.0,
+                   rgb=(0.6, 0.2, -0.4)):
+    """Handcrafted flagship-architecture NeRF whose density field is a solid
+    octahedron (|x|_1 < radius) at the origin, empty elsewhere.
+
+    Unlike :func:`_activate` (which yields fog everywhere), this produces a
+    scene with real geometry: empty background rays and surface rays that
+    saturate transmittance — the regime early-ray-termination and empty-ray
+    culling are designed for. sigma(x) = density * relu(radius - |x|_1),
+    built by wiring relu(+-x_i) units through the identity chain; rgb is a
+    constant from the head biases."""
+    import jax.numpy as jnp
+
+    config = config or nerf.NeRFConfig()
+    assert config.D == 8 and config.use_viewdirs and config.skips == (4,)
+    params = jax.tree.map(jnp.zeros_like,
+                          nerf.init_params(jax.random.PRNGKey(0), config))
+    params = jax.tree.map(lambda a: np.array(a), params)
+    # layer 0: units 0..5 = relu(+-x_i) (posenc channels 0:3 are raw x)
+    for j in range(3):
+        params["pts_linears.0"]["w"][j, j] = 1.0
+        params["pts_linears.0"]["w"][j, 3 + j] = -1.0
+    # layer 1 unit 0: relu(radius - sum relu(+-x_i)) = relu(radius - |x|_1)
+    for k in range(6):
+        params["pts_linears.1"]["w"][k, 0] = -1.0
+    params["pts_linears.1"]["b"][0] = radius
+    # identity chain for unit 0 through the remaining layers
+    for i in (2, 3, 4):
+        params[f"pts_linears.{i}"]["w"][0, 0] = 1.0
+    params["pts_linears.5"]["w"][config.input_ch + 0, 0] = 1.0  # skip concat
+    for i in (6, 7):
+        params[f"pts_linears.{i}"]["w"][0, 0] = 1.0
+    params["alpha_linear"]["w"][0, 0] = density
+    params["rgb_linear"]["b"][:] = np.asarray(rgb, np.float32)
+    return jax.tree.map(jnp.asarray, params)
+
+
 def make_scene(n_images=4, H=16, W=16, mlp=None, rc=None, seed=0,
                near=2.0, far=6.0):
     """Returns (scene dict, teacher params). Scene keys follow the loaders:

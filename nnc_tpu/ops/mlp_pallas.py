@@ -213,164 +213,6 @@ def _fused_call(packed, biases, emb, interpret=False):
     return out
 
 
-def _render_ray_tile(s):
-    """Ray-tile for the fused-compositing kernel: ~2*TILE points, and a
-    multiple of 16 so the two half-tiles stay sublane-aligned (4-row ref
-    slices miscompile on Mosaic)."""
-    return 16  # 16 rays/tile keeps MLP+compositing within scoped VMEM
-
-
-def _scan_lanes_inclusive(x, s):
-    """Exact f32 inclusive cumsum along the lane axis (Hillis-Steele
-    shift-add; jnp.cumsum is not lowered by Mosaic and a triangular matmul
-    would round through bf16)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    k = 1
-    while k < s:
-        shifted = pltpu.roll(x, k, axis=1)
-        x = x + jnp.where(col >= k, shifted, 0.0)
-        k *= 2
-    return x
-
-
-def _composite_body(ptsdir_blk, dists_blk, z_blk, refs, dtype, r_t, s):
-    """MLP + alpha compositing for r_t rays of s samples (all in VMEM).
-
-    Returns (maps (r_t, 128): cols 0:3 rgb_map, 3 acc, 4 depth;
-    weights (r_t, s)). Transmittance uses the exact identity
-    1 - alpha = exp(-sigma*dist), so T = exp(-exclusive_cumsum(sigma*dist)).
-    (matches render/volume.py raw2outputs up to its 1e-10 epsilon)."""
-    raw = _mlp_body_pts(ptsdir_blk, refs, dtype)        # (r_t*s, 128)
-    sigma = jax.nn.relu(raw[:, 3]).reshape(r_t, s)
-    sd = sigma * dists_blk
-    csd = _scan_lanes_inclusive(sd, s)
-    trans = jnp.exp(-(csd - sd))                        # exclusive
-    alpha = 1.0 - jnp.exp(-sd)
-    w = alpha * trans                                   # (r_t, s)
-
-    cols = []
-    for c in range(3):
-        rgb_c = jax.nn.sigmoid(raw[:, c]).reshape(r_t, s)
-        cols.append(jnp.sum(w * rgb_c, axis=1, keepdims=True))
-    acc = jnp.sum(w, axis=1, keepdims=True)
-    depth = jnp.sum(w * z_blk, axis=1, keepdims=True)
-    maps = jnp.concatenate(
-        cols + [acc, depth,
-                jnp.zeros((r_t, 128 - 5), jnp.float32)], axis=-1)
-    return maps, w
-
-
-def _make_render_kernel(r_t, s):
-    def kernel(ptsdir_ref, dists_ref, z_ref, *refs):
-        maps_ref, w_ref = refs[-2], refs[-1]
-        refs = refs[:-2]
-        dtype = refs[0].dtype
-        half = r_t // 2
-        m0, w0 = _composite_body(ptsdir_ref[:half * s], dists_ref[:half],
-                                 z_ref[:half], refs, dtype, half, s)
-        m1, w1 = _composite_body(ptsdir_ref[half * s:], dists_ref[half:],
-                                 z_ref[half:], refs, dtype, r_t - half, s)
-        maps_ref[:half] = m0
-        maps_ref[half:] = m1
-        w_ref[:half] = w0
-        w_ref[half:] = w1
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("s", "interpret"))
-def _fused_render_call(packed, biases, ptsdir, dists, z_vals, s,
-                       interpret=False):
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n_rays = dists.shape[0]
-    r_t = _render_ray_tile(s)
-    assert n_rays % r_t == 0, (n_rays, r_t)
-    grid = (n_rays // r_t,)
-    w_order = ["w0", "w1", "w2", "w3", "w4", "w5a", "w5b", "w6", "w7",
-               "wf", "wa", "wva", "wvb", "wr"]
-    b_order = ["b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "bf", "ba",
-               "bv", "br"]
-    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
-                                  memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((r_t * s, 8), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((r_t, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((r_t, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    in_specs += [full(packed[k]) for k in w_order]
-    in_specs += [full(biases[k]) for k in b_order]
-    maps, weights = pl.pallas_call(
-        _make_render_kernel(r_t, s),
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((r_t, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_t, s), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rays, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_rays, s), jnp.float32),
-        ),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_rays * s * 600_000,
-            bytes_accessed=n_rays * s * 40, transcendentals=n_rays * s * 90),
-    )(ptsdir, dists, z_vals,
-      *[packed[k] for k in w_order], *[biases[k] for k in b_order])
-    return maps, weights
-
-
-def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
-                      config: nerf.NeRFConfig):
-    """Fully fused deterministic render pass: points + posenc + MLP + alpha
-    compositing in one kernel. Returns dict(rgb_map, acc_map, depth_map,
-    disp_map, weights). rays_*: (R, 3); z_vals: (R, S)."""
-    n_rays, s = z_vals.shape
-    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)      # (R, 1)
-    dists = jnp.diff(z_vals, axis=-1)
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1) * dnorm
-
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    vd = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
-    ptsdir = jnp.concatenate(
-        [pts.reshape(-1, 3), vd.reshape(-1, 3),
-         jnp.zeros((n_rays * s, 2), jnp.float32)], axis=-1)
-
-    dtype = jnp.bfloat16 if config.compute_dtype == jnp.bfloat16 \
-        else jnp.float32
-    interpret = jax.default_backend() not in ("tpu", "axon")
-    packed, biases = _pack_weights(params, ls, dtype)
-
-    # pad rays to the ray-tile multiple
-    r_t = _render_ray_tile(s)
-    n_pad = ((n_rays + r_t - 1) // r_t) * r_t
-    if n_pad != n_rays:
-        pad = n_pad - n_rays
-        ptsdir = jnp.concatenate(
-            [ptsdir, jnp.zeros((pad * s, 8), jnp.float32)])
-        dists = jnp.concatenate([dists, jnp.ones((pad, s), jnp.float32)])
-        z_vals = jnp.concatenate([z_vals, jnp.ones((pad, s), jnp.float32)])
-
-    maps, weights = _fused_render_call(packed, biases, ptsdir, dists,
-                                       z_vals, s, interpret=interpret)
-    maps = maps[:n_rays]
-    weights = weights[:n_rays]
-    rgb_map = maps[:, 0:3]
-    acc = maps[:, 3]
-    depth = maps[:, 4]
-    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
-    return {"rgb_map": rgb_map, "acc_map": acc, "depth_map": depth,
-            "disp_map": disp, "weights": weights}
-
-
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_call_pts(packed, biases, ptsdir, interpret=False):
     from jax.experimental import pallas as pl

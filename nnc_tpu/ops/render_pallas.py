@@ -1,0 +1,262 @@
+"""Fused NeRF render pass with early ray termination (TPU fast path).
+
+One Pallas kernel runs posenc + the 12-layer MLP + alpha compositing over a
+grid of (ray tiles x sample blocks). Compositing state (cumulative
+sigma*dist, running rgb/acc/depth) lives in VMEM scratch across the sample
+blocks of a ray tile, which bounds VMEM by the *block*, not the array (the
+round-1 full-fusion kernel OOMed because it scoped the whole chunk).
+
+Compute skipping (the lever past the dense-evaluation ceiling):
+  * early termination: once every ray in a tile has accumulated optical
+    depth > -log(eps_T), the remaining sample blocks of that tile skip the
+    MLP entirely (`@pl.when` predication; the transmittance left behind
+    bounds the rgb error by eps_T).
+  * empty-ray culling: a per-ray-tile flag (from the coarse pass's acc_map)
+    skips whole tiles in the fine pass; the renderer sorts rays so inactive
+    rays cluster into skippable tiles and substitutes the coarse result.
+
+Semantics match render/volume.py raw2outputs with its 1e-10 cumprod epsilon
+replaced by the exact identity T = exp(-cumsum(sigma*dist)) (same divergence
+the round-1 kernel documented). Reference semantics: run_nerf.py:285-345
+(raw2outputs) and :348-457 (render_rays); the early-termination /
+culling thresholds are this implementation's extension (exact when 0).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import nerf
+from .mlp_pallas import _mlp_body_pts, _pack_weights
+
+# ray-tile and sample-block sizes. Half-tiles of the interleaved MLP chains
+# must stay multiples of 16 sublanes (4-row ref slices miscompile on Mosaic),
+# so R_TILE is a multiple of 32.
+R_TILE = 32
+S_BLK = 32
+
+_W_ORDER = ["w0", "w1", "w2", "w3", "w4", "w5a", "w5b", "w6", "w7",
+            "wf", "wa", "wva", "wvb", "wr"]
+_B_ORDER = ["b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "bf", "ba",
+            "bv", "br"]
+
+
+def _scan_lanes_inclusive(x, s):
+    """Exact f32 inclusive cumsum along the lane axis (Hillis-Steele
+    shift-add; jnp.cumsum is not lowered by Mosaic and a triangular matmul
+    would round through bf16)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < s:
+        shifted = pltpu.roll(x, k, axis=1)
+        x = x + jnp.where(col >= k, shifted, 0.0)
+        k *= 2
+    return x
+
+
+def _composite_block(raw, dists_blk, z_blk, csd_in, h, s):
+    """Composite one (h rays x s samples) block given the accumulated
+    optical depth ``csd_in`` (h, 1) from earlier blocks. Returns
+    (maps_add (h, 128), weights (h, s), csd_add (h, 1))."""
+    sigma = jax.nn.relu(raw[:, 3]).reshape(h, s)
+    sd = sigma * dists_blk
+    # exclusive cumsum computed directly (inclusive(x) - x catastrophically
+    # cancels at the 1e10 far-sentinel sample, wiping the accumulated depth)
+    col = jax.lax.broadcasted_iota(jnp.int32, sd.shape, 1)
+    sd_prev = jnp.where(col >= 1, pltpu.roll(sd, 1, axis=1), 0.0)
+    excl = _scan_lanes_inclusive(sd_prev, s)
+    trans = jnp.exp(-(csd_in + excl))
+    alpha = 1.0 - jnp.exp(-sd)
+    w = alpha * trans
+
+    cols = []
+    for c in range(3):
+        rgb_c = jax.nn.sigmoid(raw[:, c]).reshape(h, s)
+        cols.append(jnp.sum(w * rgb_c, axis=1, keepdims=True))
+    acc = jnp.sum(w, axis=1, keepdims=True)
+    depth = jnp.sum(w * z_blk, axis=1, keepdims=True)
+    maps_add = jnp.concatenate(
+        cols + [acc, depth, jnp.zeros((h, 128 - 5), jnp.float32)], axis=-1)
+    return maps_add, w, excl[:, s - 1:s] + sd[:, s - 1:s]
+
+
+def _make_kernel(r_t, s_blk, n_j, term_csd):
+    def kernel(flags_ref, ptsdir_ref, dists_ref, z_ref, *refs):
+        mlp_refs = refs[:-4]
+        maps_ref, w_ref = refs[-4], refs[-3]
+        csd_ref, acc_ref = refs[-2], refs[-1]
+        dtype = mlp_refs[0].dtype
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            csd_ref[:] = jnp.zeros_like(csd_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        flag_on = flags_ref[pl.program_id(0)] != 0
+        alive = jnp.min(csd_ref[:]) < term_csd
+        active = jnp.logical_and(flag_on, alive)
+
+        @pl.when(active)
+        def _():
+            half = r_t // 2
+            # two independent half-tile chains interleave MXU/VPU work
+            raw0 = _mlp_body_pts(ptsdir_ref[:half * s_blk], mlp_refs, dtype)
+            raw1 = _mlp_body_pts(ptsdir_ref[half * s_blk:], mlp_refs, dtype)
+            m0, w0, c0 = _composite_block(
+                raw0, dists_ref[:half], z_ref[:half], csd_ref[:half],
+                half, s_blk)
+            m1, w1, c1 = _composite_block(
+                raw1, dists_ref[half:], z_ref[half:], csd_ref[half:],
+                r_t - half, s_blk)
+            acc_ref[:half] = acc_ref[:half] + m0
+            acc_ref[half:] = acc_ref[half:] + m1
+            w_ref[:half] = w0
+            w_ref[half:] = w1
+            csd_ref[:half] = csd_ref[:half] + c0
+            csd_ref[half:] = csd_ref[half:] + c1
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            w_ref[:] = jnp.zeros_like(w_ref)
+
+        @pl.when(j == n_j - 1)
+        def _():
+            maps_ref[:] = acc_ref[:]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("s", "r_t", "s_blk", "term_csd",
+                                    "interpret"))
+def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
+                          r_t, s_blk, term_csd, interpret=False):
+    # dists/z_vals arrive block-major: (n_i * n_j * r_t, s_blk)
+    n_i = flags.shape[0]
+    n_rays = n_i * r_t
+    n_j = s // s_blk
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    in_specs = [
+        # whole flag vector stays resident in SMEM; indexed by program_id
+        pl.BlockSpec((n_i,), lambda i, j: (0,), memory_space=pltpu.SMEM),
+        # inputs/outputs sliced per (ray tile, sample block) use a
+        # block-major layout (lane width == s_blk) because Mosaic requires
+        # lane blocks to be 128-divisible or whole-array
+        pl.BlockSpec((r_t * s_blk, 8), lambda i, j, _nj=n_j: (i * _nj + j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_t, s_blk), lambda i, j, _nj=n_j: (i * _nj + j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_t, s_blk), lambda i, j, _nj=n_j: (i * _nj + j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    in_specs += [full(packed[k]) for k in _W_ORDER]
+    in_specs += [full(biases[k]) for k in _B_ORDER]
+    maps, weights = pl.pallas_call(
+        _make_kernel(r_t, s_blk, n_j, term_csd),
+        grid=(n_i, n_j),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((r_t, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r_t, s_blk), lambda i, j, _nj=n_j: (i * _nj + j, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rays, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_rays * n_j, s_blk), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((r_t, 1), jnp.float32),       # cumulative sigma*dist
+            pltpu.VMEM((r_t, 128), jnp.float32),     # running maps
+        ],
+        interpret=interpret,
+        # predicated (@pl.when) bodies inhibit Mosaic's temp-buffer reuse;
+        # the default 16M scoped-vmem cap is artificial — v5e has 128M
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_rays * s * 600_000,
+            bytes_accessed=n_rays * s * 44,
+            transcendentals=n_rays * s * 90),
+    )(flags, ptsdir, dists, z_vals,
+      *[packed[k] for k in _W_ORDER], *[biases[k] for k in _B_ORDER])
+    return maps, weights
+
+
+def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
+                      config: nerf.NeRFConfig, *, early_term_eps=0.0,
+                      ray_flags=None, r_t=R_TILE, s_blk=S_BLK):
+    """Fully fused deterministic render pass with early termination.
+
+    rays_*: (R, 3); z_vals: (R, S) with S % s_blk == 0. ``ray_flags``: bool
+    (R,) — rays whose whole tile is False are skipped (their outputs are 0;
+    the caller substitutes). Returns dict(rgb_map, acc_map, depth_map,
+    disp_map, weights)."""
+    n_rays, s = z_vals.shape
+    if s % s_blk != 0:
+        # largest divisor of s up to the preferred block keeps shapes static
+        s_blk = next(k for k in range(min(s, s_blk), 0, -1) if s % k == 0)
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dists = jnp.diff(z_vals, axis=-1)
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1) * dnorm
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    vd = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
+    ptsdir = jnp.concatenate(
+        [pts, vd, jnp.zeros(pts.shape[:-1] + (2,), jnp.float32)], axis=-1)
+
+    dtype = jnp.bfloat16 if config.compute_dtype == jnp.bfloat16 \
+        else jnp.float32
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    packed, biases = _pack_weights(params, ls, dtype)
+
+    n_pad = ((n_rays + r_t - 1) // r_t) * r_t
+    if n_pad != n_rays:
+        pad = n_pad - n_rays
+        ptsdir = jnp.concatenate(
+            [ptsdir, jnp.zeros((pad,) + ptsdir.shape[1:], jnp.float32)])
+        dists = jnp.concatenate([dists, jnp.ones((pad, s), jnp.float32)])
+        z_vals = jnp.concatenate([z_vals, jnp.ones((pad, s), jnp.float32)])
+        if ray_flags is not None:
+            ray_flags = jnp.concatenate(
+                [ray_flags, jnp.zeros((pad,), bool)])
+
+    n_i, n_j = n_pad // r_t, s // s_blk
+    # block-major layouts so grid block (i, j) is a contiguous row range
+    ptsdir = ptsdir.reshape(n_i, r_t, n_j, s_blk, 8).swapaxes(1, 2) \
+        .reshape(n_i * n_j * r_t * s_blk, 8)
+    to_bm = lambda a: a.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
+        .reshape(n_i * n_j * r_t, s_blk)
+    dists_bm = to_bm(dists)
+    z_bm = to_bm(z_vals)
+
+    if ray_flags is None:
+        flags = jnp.ones((n_i,), jnp.int32)
+    else:
+        flags = jnp.any(ray_flags.reshape(n_i, r_t),
+                        axis=1).astype(jnp.int32)
+
+    # optical-depth threshold: T < eps_T  <=>  csd > -log(eps_T)
+    term_csd = float(-np.log(early_term_eps)) if early_term_eps > 0 \
+        else float("inf")
+
+    maps, weights_bm = _fused_render_et_call(
+        packed, biases, flags, ptsdir, dists_bm, z_bm, s, r_t, s_blk,
+        term_csd, interpret=interpret)
+    maps = maps[:n_rays]
+    weights = weights_bm.reshape(n_i, n_j, r_t, s_blk).swapaxes(1, 2) \
+        .reshape(n_pad, s)[:n_rays]
+    rgb_map = maps[:, 0:3]
+    acc = maps[:, 3]
+    depth = maps[:, 4]
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    return {"rgb_map": rgb_map, "acc_map": acc, "depth_map": depth,
+            "disp_map": disp, "weights": weights}

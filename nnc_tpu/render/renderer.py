@@ -34,10 +34,19 @@ class RenderConfig:
     lindisp: bool = False
     chunk: int = 1024 * 32
     use_fused_mlp: bool = False  # Pallas fused inference kernel (TPU)
-    # EXPERIMENTAL: also fuse alpha compositing into the kernel. Correct in
-    # interpret mode but currently miscompiles on the axon/Mosaic backend
-    # (and loses perf to small ray tiles); off by default. See CLAUDE.md.
+    # fuse alpha compositing into the kernel (grid over sample blocks with
+    # running-transmittance scratch; see ops/render_pallas.py). Enables the
+    # compute-skipping thresholds below. Deterministic renders only.
     use_fused_compositing: bool = False
+    # stop evaluating a ray tile once every ray's transmittance < this
+    # (bounds the rgb error by the same amount); 0 disables.
+    early_term_eps: float = 1e-4
+    # skip the fine pass for rays whose coarse acc_map is below this (the
+    # coarse result is substituted); 0 disables.
+    empty_ray_eps: float = 1e-3
+    # fused-compositing tile sizes (rays x samples per grid step)
+    fusion_ray_tile: int = 32
+    fusion_sample_block: int = 32
 
 
 def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig,
@@ -86,18 +95,24 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
         from ..ops import mlp_pallas
         use_full_fusion = mlp_pallas.supports(rc.mlp)
 
-    def one_pass(p, l, z, noise_key):
+    def one_pass(p, l, z, noise_key, ro=rays_o, rd=rays_d, vd=None,
+                 ray_flags=None):
+        vd = viewdirs if vd is None else vd
         if use_full_fusion:
-            from ..ops.mlp_pallas import fused_render_pass
-            o = fused_render_pass(p, l, rays_o, rays_d, viewdirs, z, rc.mlp)
+            from ..ops.render_pallas import fused_render_pass
+            o = fused_render_pass(p, l, ro, rd, vd, z, rc.mlp,
+                                  early_term_eps=rc.early_term_eps,
+                                  ray_flags=ray_flags,
+                                  r_t=rc.fusion_ray_tile,
+                                  s_blk=rc.fusion_sample_block)
             if rc.white_bkgd:
                 o["rgb_map"] = o["rgb_map"] + (1.0 - o["acc_map"][..., None])
             return o
-        pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
+        pts = ro[..., None, :] + rd[..., None, :] * z[..., :, None]
         # the fused kernel is inference-only (no VJP): training renders
         # (deterministic=False) take the differentiable XLA path
-        raw = _query_mlp(p, l, pts, viewdirs, rc, allow_fused=deterministic)
-        return raw2outputs(raw, z, rays_d, rc.raw_noise_std, rc.white_bkgd,
+        raw = _query_mlp(p, l, pts, vd, rc, allow_fused=deterministic)
+        return raw2outputs(raw, z, rd, rc.raw_noise_std, rc.white_bkgd,
                            noise_key=None if deterministic else noise_key)
 
     z_vals = stratified_samples(k_strat, near, far, rc.n_samples, n_rays,
@@ -117,7 +132,29 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
         z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), axis=-1)
         fine_p = params_fine if params_fine is not None else params
         fine_ls = ls_fine if params_fine is not None else ls
-        out = one_pass(fine_p, fine_ls, z_all, k_noise1)
+        if use_full_fusion and rc.empty_ray_eps > 0:
+            r_t = rc.fusion_ray_tile
+            # empty-ray culling: sort rays so inactive ones (coarse acc
+            # below threshold) cluster into whole skippable ray tiles; the
+            # coarse maps substitute for rays in skipped tiles.
+            active = out["acc_map"] > rc.empty_ray_eps
+            order = jnp.argsort(jnp.logical_not(active), stable=True)
+            inv = jnp.argsort(order)
+            out_f = one_pass(fine_p, fine_ls, z_all[order], k_noise1,
+                             ro=rays_o[order], rd=rays_d[order],
+                             vd=viewdirs[order], ray_flags=active[order])
+            n_pad = ((n_rays + r_t - 1) // r_t) * r_t
+            tiles = jnp.any(
+                jnp.pad(active[order], (0, n_pad - n_rays))
+                .reshape(-1, r_t), axis=1)
+            computed = jnp.repeat(tiles, r_t)[:n_rays][inv]
+            out = {
+                k: jnp.where(
+                    computed.reshape((-1,) + (1,) * (out_f[k].ndim - 1)),
+                    out_f[k][inv], out[k])
+                for k in ("rgb_map", "disp_map", "acc_map")}
+        else:
+            out = one_pass(fine_p, fine_ls, z_all, k_noise1)
         ret["z_std"] = jnp.std(z_samples, axis=-1)
 
     ret["rgb_map"] = out["rgb_map"]

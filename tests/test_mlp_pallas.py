@@ -63,29 +63,113 @@ def test_fused_from_points_matches_reference_interpret():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
-def test_fused_render_pass_matches_raw2outputs_interpret():
-    """Experimental full-fusion (MLP + compositing) kernel: exact in
-    interpret mode (compiled TPU path pending a Mosaic fix; see CLAUDE.md)."""
-    from nnc_tpu.ops.mlp_pallas import fused_render_pass
-    from nnc_tpu.ops.posenc import positional_encoding
-    from nnc_tpu.render.volume import raw2outputs
-
+def _render_fixture(R, S, seed=1, activated=True):
+    from nnc_tpu.data.synthetic import _activate
     mlp = nerf.NeRFConfig()
     params = nerf.init_params(jax.random.PRNGKey(0), mlp)
-    R, S = 8, 16
-    key = jax.random.PRNGKey(1)
+    if activated:
+        params = _activate(params, 3)
+    key = jax.random.PRNGKey(seed)
     ro = jax.random.normal(key, (R, 3)) * 0.1
     rd = jax.random.normal(jax.random.fold_in(key, 1), (R, 3)) * 0.2 + \
         jnp.array([0, 0, -1.0])
     vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
     z = jnp.sort(jax.random.uniform(jax.random.fold_in(key, 2),
                                     (R, S)) * 4 + 2, axis=-1)
-    out = fused_render_pass(params, None, ro, rd, vd, z, mlp)
+    return mlp, params, ro, rd, vd, z
 
+
+def _reference_pass(params, ro, rd, vd, z, mlp):
+    from nnc_tpu.ops.posenc import positional_encoding
+    from nnc_tpu.render.volume import raw2outputs
     pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
     pe = positional_encoding(pts, 10)
     ve = positional_encoding(jnp.broadcast_to(vd[:, None, :], pts.shape), 4)
-    ref = raw2outputs(nerf.apply_mlp(params, pe, ve, mlp), z, rd)
+    return raw2outputs(nerf.apply_mlp(params, pe, ve, mlp), z, rd)
+
+
+def test_fused_render_pass_matches_raw2outputs_interpret():
+    """Grid-based MLP+compositing kernel, early termination off: exact
+    against the XLA raw2outputs (up to the documented 1e-10 epsilon)."""
+    from nnc_tpu.ops.render_pallas import fused_render_pass
+
+    mlp, params, ro, rd, vd, z = _render_fixture(32, 32)
+    out = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                            early_term_eps=0.0)
+    ref = _reference_pass(params, ro, rd, vd, z, mlp)
     for k in ("rgb_map", "acc_map", "depth_map", "weights"):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=1e-5)
+
+
+def test_fused_render_pass_multiblock_and_padding():
+    """Multiple sample blocks (running transmittance crosses blocks) and a
+    non-tile-multiple ray count."""
+    from nnc_tpu.ops.render_pallas import fused_render_pass
+
+    mlp, params, ro, rd, vd, z = _render_fixture(40, 64)
+    out = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                            early_term_eps=0.0)
+    ref = _reference_pass(params, ro, rd, vd, z, mlp)
+    for k in ("rgb_map", "acc_map", "weights"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-5)
+
+
+def test_fused_render_pass_early_termination_bounded():
+    """Early termination changes results by at most eps_T per map entry on a
+    dense (activated) scene, and actually terminates (weights past the
+    surface come back exactly zero for skipped blocks)."""
+    from nnc_tpu.ops.render_pallas import fused_render_pass
+
+    mlp, params, ro, rd, vd, z = _render_fixture(32, 64)
+    eps = 1e-3
+    exact = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                              early_term_eps=0.0)
+    et = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                           early_term_eps=eps)
+    np.testing.assert_allclose(np.asarray(et["rgb_map"]),
+                               np.asarray(exact["rgb_map"]), atol=2 * eps)
+    np.testing.assert_allclose(np.asarray(et["acc_map"]),
+                               np.asarray(exact["acc_map"]), atol=2 * eps)
+
+
+def test_fused_render_pass_ray_flags_skip_tiles():
+    from nnc_tpu.ops.render_pallas import fused_render_pass
+
+    mlp, params, ro, rd, vd, z = _render_fixture(64, 32)
+    flags = jnp.concatenate([jnp.ones(32, bool), jnp.zeros(32, bool)])
+    out = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                            early_term_eps=0.0, ray_flags=flags)
+    ref = _reference_pass(params, ro, rd, vd, z, mlp)
+    np.testing.assert_allclose(np.asarray(out["rgb_map"][:32]),
+                               np.asarray(ref["rgb_map"][:32]), atol=1e-5)
+    # skipped tile outputs are zeros
+    assert np.abs(np.asarray(out["rgb_map"][32:])).max() == 0.0
+    assert np.abs(np.asarray(out["weights"][32:])).max() == 0.0
+
+
+def test_renderer_culled_fused_path_matches_exact():
+    """render_rays with use_fused_compositing + empty-ray culling + early
+    termination stays within threshold-bounded error of the exact XLA path
+    on a scene mixing surface hits and empty rays."""
+    from nnc_tpu.render import renderer
+
+    mlp, params, ro, rd, vd, z = _render_fixture(64, 32)
+    params_f = params
+    rc_exact = renderer.RenderConfig(mlp=mlp, n_samples=16, n_importance=16,
+                                     perturb=False)
+    rc_fused = renderer.RenderConfig(mlp=mlp, n_samples=16, n_importance=16,
+                                     perturb=False, use_fused_mlp=True,
+                                     use_fused_compositing=True,
+                                     early_term_eps=1e-4,
+                                     empty_ray_eps=1e-3)
+    key = jax.random.PRNGKey(9)
+    exact = renderer.render_rays(params, params_f, None, None, ro, rd, vd,
+                                 2.0, 6.0, key, rc_exact, deterministic=True)
+    fused = renderer.render_rays(params, params_f, None, None, ro, rd, vd,
+                                 2.0, 6.0, key, rc_fused, deterministic=True)
+    d = np.abs(np.asarray(fused["rgb_map"]) - np.asarray(exact["rgb_map"]))
+    assert d.max() < 5e-3, d.max()
+    d0 = np.abs(np.asarray(fused["rgb0"]) - np.asarray(exact["rgb0"]))
+    assert d0.max() < 5e-3, d0.max()
