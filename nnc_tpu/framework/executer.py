@@ -163,7 +163,7 @@ class NeRFModelExecuter(ModelExecute):
             except Exception as e:  # ffmpeg may be absent
                 print(f"INFO: mp4 writing skipped ({e})")
 
-        ls_c, ls_f, mean_psnr, mean_loss, _ = lsa.tune_lsa_scales(
+        ls_c, ls_f, mean_psnr, mean_loss, _, biases = lsa.tune_lsa_scales(
             params_c, params_f, ls_c, ls_f, batcher, self.rc,
             scene["near"], scene["far"],
             learning_rate=self.learning_rate,
@@ -171,7 +171,8 @@ class NeRFModelExecuter(ModelExecute):
             epochs=self.epochs, n_iters=self.n_iters, i_save=self.i_save,
             basedir_save=basedir_save, global_step0=global_step0,
             seed=self.seed, verbose=self.verbose or verbose,
-            save_hook=save_hook, mesh=self.mesh)
+            save_hook=save_hook, mesh=self.mesh, tune_biases=ft_flag,
+            tune_scales=lsa_flag)
 
         lsa_params, ft_params = {}, {}
         if lsa_flag:
@@ -181,6 +182,15 @@ class NeRFModelExecuter(ModelExecute):
             for name in ls_f:
                 lsa_params["model_fine." + name + ".weight_scaling"] = \
                     np.asarray(ls_f[name]).flatten()
+        if ft_flag and biases is not None:
+            # fine-tuning adjusts the bias companions against the quantized
+            # weights (reference ft trains O_TYPES params, not weights:
+            # pytorch_model/__init__.py:1129-1145, 1195-1203)
+            b_c, b_f = biases
+            for name, b in b_c.items():
+                ft_params["model." + name + ".bias"] = np.asarray(b)
+            for name, b in b_f.items():
+                ft_params["model_fine." + name + ".bias"] = np.asarray(b)
         return lsa_params, ft_params
 
     def test_model(self, parameters, verbose=False):

@@ -1,0 +1,393 @@
+"""Fused NeRF MLP forward+backward Pallas kernels (TPU training fast path).
+
+The inference kernel (ops/mlp_pallas.py) folds LSA scales into the weights
+host-side and defines no VJP, so round-1 training fell back to the XLA MLP
+whose backward streams every activation through HBM (~3 GB per step at
+N_rand=1024). This module provides a `jax.custom_vjp` pair:
+
+  * forward: posenc + 12-layer MLP with LSA applied as *output* scaling
+    ``y = (x @ W) * ls + b`` (mathematically identical to scaling W's output
+    channels, reference transforms.py:104-111), weights resident in VMEM.
+  * backward: recomputes the forward per tile (cheaper than materializing
+    activations in HBM), then runs the reverse chain in the same kernel,
+    accumulating dls / db / dW into VMEM-resident output buffers across the
+    grid. ``dls = colsum(dy_pre * u)`` with ``u = x @ W`` kept as a local of
+    the recompute, so LSA gradients need no extra matmuls; dW (for
+    fine-tuning) adds one matmul per layer and is gated by ``with_dw``.
+
+Input-position gradients are not produced (returned as zeros): ray origins/
+directions are data and z_samples are stop_gradient'ed in the renderer
+(reference trains only weight_scaling / weights, pytorch_model:1129-1145).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import nerf
+from .mlp_pallas import _PACK_W, _inkernel_posenc, _pad_to, supports
+
+TILE = 1024
+
+_W_ORDER = ["w0", "w1", "w2", "w3", "w4", "w5a", "w5b", "w6", "w7",
+            "wf", "wa", "wva", "wvb", "wr"]
+_B_ORDER = ["b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "bf", "ba",
+            "bv", "br"]
+_LS_ORDER = ["l0", "l1", "l2", "l3", "l4", "l5", "l6", "l7", "lf", "la",
+             "lv", "lr"]
+
+# map packed ls keys -> (layer name, real width)
+_LS_LAYERS = {
+    **{f"l{i}": (f"pts_linears.{i}", 256) for i in range(8)},
+    "lf": ("feature_linear", 256),
+    "la": ("alpha_linear", 1),
+    "lv": ("views_linears.0", 128),
+    "lr": ("rgb_linear", 3),
+}
+
+
+def pack_train(params, ls, dtype):
+    """Pack weights (unscaled), biases and LSA scales for the train kernels.
+
+    All ops are differentiable jnp so JAX transposes the packing when
+    pulling cotangents back onto the params/ls pytrees."""
+    def w(name):
+        return params[name]["w"]
+
+    packed = {}
+    packed["w0"] = _pad_to(w("pts_linears.0"), _PACK_W, 256)
+    for i in (1, 2, 3, 4, 6, 7):
+        packed[f"w{i}"] = w(f"pts_linears.{i}")
+    w5 = w("pts_linears.5")
+    packed["w5a"] = _pad_to(w5[:63], _PACK_W, 256)
+    packed["w5b"] = w5[63:]
+    packed["wf"] = w("feature_linear")
+    wa = w("alpha_linear")
+    packed["wa"] = jnp.zeros((256, 128), wa.dtype).at[:, 3:4].set(wa)
+    wv = w("views_linears.0")
+    packed["wva"] = wv[:256]
+    packed["wvb"] = jnp.zeros((_PACK_W, 128), wv.dtype).at[64:91].set(wv[256:])
+    wr = w("rgb_linear")
+    packed["wr"] = jnp.zeros((128, 128), wr.dtype).at[:, :3].set(wr)
+    packed = {k: v.astype(dtype) for k, v in packed.items()}
+
+    biases = {}
+    for i in range(8):
+        biases[f"b{i}"] = params[f"pts_linears.{i}"]["b"].reshape(1, 256)
+    biases["bf"] = params["feature_linear"]["b"].reshape(1, 256)
+    biases["ba"] = jnp.zeros((1, 128), jnp.float32).at[0, 3].set(
+        params["alpha_linear"]["b"][0])
+    biases["bv"] = params["views_linears.0"]["b"].reshape(1, 128)
+    biases["br"] = jnp.zeros((1, 128), jnp.float32).at[0, :3].set(
+        params["rgb_linear"]["b"])
+    biases = {k: v.astype(jnp.float32) for k, v in biases.items()}
+
+    lss = {}
+    for key, (name, width) in _LS_LAYERS.items():
+        vec = ls[name].reshape(-1) if (ls is not None and name in ls) \
+            else jnp.ones((width,), jnp.float32)
+        if key == "la":
+            lss[key] = jnp.ones((1, 128), jnp.float32).at[0, 3].set(vec[0])
+        elif key == "lr":
+            lss[key] = jnp.ones((1, 128), jnp.float32).at[0, :3].set(vec)
+        else:
+            lss[key] = vec.reshape(1, -1).astype(jnp.float32)
+    return packed, biases, lss
+
+
+def _fwd_chain(emb, W, B, L, cdt, keep=False):
+    """Forward MLP on embedded input. With keep=True returns all the
+    intermediates the backward chain needs."""
+    f32 = jnp.float32
+
+    def dense(x, w, b, l):
+        u = jnp.dot(x, w[:], preferred_element_type=f32)
+        return u, u * l[:] + b[:]
+
+    h_list, u_list = [], []
+    x = emb
+    for i in range(8):
+        if i == 5:
+            u = jnp.dot(emb, W["w5a"][:], preferred_element_type=f32) + \
+                jnp.dot(x, W["w5b"][:], preferred_element_type=f32)
+            pre = u * L["l5"][:] + B["b5"][:]
+        else:
+            u, pre = dense(x, W[f"w{i}"], B[f"b{i}"], L[f"l{i}"])
+        x = jax.nn.relu(pre).astype(cdt)
+        if keep:
+            h_list.append(x)
+            u_list.append(u)
+
+    u_a, alpha = dense(x, W["wa"], B["ba"], L["la"])
+    u_f, feature = dense(x, W["wf"], B["bf"], L["lf"])
+    feature = feature.astype(cdt)
+    u_v = jnp.dot(feature, W["wva"][:], preferred_element_type=f32) + \
+        jnp.dot(emb, W["wvb"][:], preferred_element_type=f32)
+    v_pre = u_v * L["lv"][:] + B["bv"][:]
+    v = jax.nn.relu(v_pre).astype(cdt)
+    u_r, rgb = dense(v, W["wr"], B["br"], L["lr"])
+    out = rgb + alpha
+    if not keep:
+        return out
+    return out, dict(emb=emb, h=h_list, u=u_list, u_a=u_a, u_f=u_f,
+                     feature=feature, u_v=u_v, v=v, u_r=u_r)
+
+
+def _make_fwd_kernel():
+    def kernel(in_ref, *refs):
+        out_ref = refs[-1]
+        W = dict(zip(_W_ORDER, refs[:14]))
+        B = dict(zip(_B_ORDER, refs[14:26]))
+        L = dict(zip(_LS_ORDER, refs[26:38]))
+        cdt = W["w0"].dtype
+        half = in_ref.shape[0] // 2
+
+        def embed(x):
+            pe = _inkernel_posenc(x[:, 0:3], 10, cdt)
+            ve = _inkernel_posenc(x[:, 3:6], 4, cdt)
+            h = x.shape[0]
+            return jnp.concatenate(
+                [pe, jnp.zeros((h, 1), cdt), ve,
+                 jnp.zeros((h, _PACK_W - 91), cdt)], axis=-1)
+
+        out_ref[:half] = _fwd_chain(embed(in_ref[:half]), W, B, L, cdt)
+        out_ref[half:] = _fwd_chain(embed(in_ref[half:]), W, B, L, cdt)
+
+    return kernel
+
+
+def _make_bwd_kernel(with_dw):
+    def kernel(in_ref, g_ref, *refs):
+        W = dict(zip(_W_ORDER, refs[:14]))
+        B = dict(zip(_B_ORDER, refs[14:26]))
+        L = dict(zip(_LS_ORDER, refs[26:38]))
+        outs = refs[38:]
+        dW = dict(zip(_W_ORDER, outs[:14]))
+        dB = dict(zip(_B_ORDER, outs[14:26]))
+        dL = dict(zip(_LS_ORDER, outs[26:38]))
+        cdt = W["w0"].dtype
+        f32 = jnp.float32
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for r in outs:
+                r[:] = jnp.zeros_like(r)
+
+        def bdot(a, b):
+            # a @ b.T contracting the feature axes (no materialized
+            # transpose; the MXU consumes either operand order)
+            return jax.lax.dot_general(
+                a.astype(cdt), b[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+
+        def tdot(x, dy):
+            # x.T @ dy
+            return jax.lax.dot_general(
+                x, dy.astype(cdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+
+        def half_bwd(x_in, g):
+            """Recompute + reverse chain on one half tile; returns the
+            accumulator contributions {key: array} (the two halves' chains
+            are independent, so the scheduler interleaves their MXU work —
+            a dependent matmul chain alone is latency-bound)."""
+            acc = {}
+
+            def add(d, key, val):
+                d[key] = d.get(key, 0) + val
+
+            pe = _inkernel_posenc(x_in[:, 0:3], 10, cdt)
+            ve = _inkernel_posenc(x_in[:, 3:6], 4, cdt)
+            n = x_in.shape[0]
+            emb = jnp.concatenate(
+                [pe, jnp.zeros((n, 1), cdt), ve,
+                 jnp.zeros((n, _PACK_W - 91), cdt)], axis=-1)
+
+            _out, res = _fwd_chain(emb, W, B, L, cdt, keep=True)
+
+            def head(dy, u, x, wkey, bkey, lkey):
+                """Backward of a no-relu head: returns dx."""
+                du = dy * L[lkey][:]
+                add(acc, lkey, jnp.sum(dy * u, 0, keepdims=True))
+                add(acc, bkey, jnp.sum(dy, 0, keepdims=True))
+                if with_dw:
+                    add(acc, wkey, tdot(x, du))
+                return bdot(du, W[wkey])
+
+            # rgb head
+            dv = head(g, res["u_r"], res["v"], "wr", "br", "lr")
+            # alpha head
+            dh = head(g, res["u_a"], res["h"][7], "wa", "ba", "la")
+            # view layer (relu)
+            dv_pre = dv * (res["v"].astype(f32) > 0)
+            du_v = dv_pre * L["lv"][:]
+            add(acc, "lv", jnp.sum(dv_pre * res["u_v"], 0, keepdims=True))
+            add(acc, "bv", jnp.sum(dv_pre, 0, keepdims=True))
+            if with_dw:
+                add(acc, "wva", tdot(res["feature"], du_v))
+                add(acc, "wvb", tdot(emb, du_v))
+            dfeature = bdot(du_v, W["wva"])
+            # feature head (no relu)
+            dh = dh + head(dfeature, res["u_f"], res["h"][7], "wf", "bf",
+                           "lf")
+
+            # pts layers 7..0
+            for i in range(7, -1, -1):
+                dpre = dh * (res["h"][i].astype(f32) > 0)
+                du = dpre * L[f"l{i}"][:]
+                add(acc, f"l{i}", jnp.sum(dpre * res["u"][i], 0,
+                                          keepdims=True))
+                add(acc, f"b{i}", jnp.sum(dpre, 0, keepdims=True))
+                x = emb if i == 0 else res["h"][i - 1]
+                if i == 5:
+                    if with_dw:
+                        add(acc, "w5a", tdot(emb, du))
+                        add(acc, "w5b", tdot(res["h"][4], du))
+                    dh = bdot(du, W["w5b"])
+                else:
+                    if with_dw:
+                        add(acc, f"w{i}", tdot(x, du))
+                    dh = bdot(du, W[f"w{i}"]) if i > 0 else None
+            return acc
+
+        half = in_ref.shape[0] // 2
+        acc0 = half_bwd(in_ref[:half], g_ref[:half])
+        acc1 = half_bwd(in_ref[half:], g_ref[half:])
+        allrefs = {**dW, **dB, **dL}
+        for key, ref in allrefs.items():
+            if key in acc0:
+                ref[:] = ref[:] + acc0[key] + acc1[key]
+
+    return kernel
+
+
+def _full_spec(a):
+    return pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fwd_call(packed, biases, lss, ptsdir, interpret=False):
+    n = ptsdir.shape[0]
+    in_specs = [pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [_full_spec(packed[k]) for k in _W_ORDER]
+    in_specs += [_full_spec(biases[k]) for k in _B_ORDER]
+    in_specs += [_full_spec(lss[k]) for k in _LS_ORDER]
+    return pl.pallas_call(
+        _make_fwd_kernel(),
+        grid=(n // TILE,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * 600_000, bytes_accessed=n * 544,
+            transcendentals=n * 84),
+    )(ptsdir, *[packed[k] for k in _W_ORDER],
+      *[biases[k] for k in _B_ORDER], *[lss[k] for k in _LS_ORDER])
+
+
+@functools.partial(jax.jit, static_argnames=("with_dw", "interpret"))
+def _bwd_call(packed, biases, lss, ptsdir, g, with_dw, interpret=False):
+    n = ptsdir.shape[0]
+    in_specs = [
+        pl.BlockSpec((TILE, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    in_specs += [_full_spec(packed[k]) for k in _W_ORDER]
+    in_specs += [_full_spec(biases[k]) for k in _B_ORDER]
+    in_specs += [_full_spec(lss[k]) for k in _LS_ORDER]
+    out_shape = (
+        [jax.ShapeDtypeStruct(packed[k].shape, jnp.float32)
+         for k in _W_ORDER]
+        + [jax.ShapeDtypeStruct(biases[k].shape, jnp.float32)
+           for k in _B_ORDER]
+        + [jax.ShapeDtypeStruct(lss[k].shape, jnp.float32)
+           for k in _LS_ORDER])
+    out_specs = [_full_spec(s) for s in out_shape]
+    outs = pl.pallas_call(
+        _make_bwd_kernel(with_dw),
+        grid=(n // TILE,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(6 if with_dw else 4) * n * 600_000,
+            bytes_accessed=n * 1056, transcendentals=n * 84),
+    )(ptsdir, g, *[packed[k] for k in _W_ORDER],
+      *[biases[k] for k in _B_ORDER], *[lss[k] for k in _LS_ORDER])
+    dW = dict(zip(_W_ORDER, outs[:14]))
+    dB = dict(zip(_B_ORDER, outs[14:26]))
+    dL = dict(zip(_LS_ORDER, outs[26:38]))
+    return dW, dB, dL
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _train_op(packed, biases, lss, ptsdir, with_dw, interpret):
+    return _fwd_call(packed, biases, lss, ptsdir, interpret=interpret)
+
+
+def _train_op_fwd(packed, biases, lss, ptsdir, with_dw, interpret):
+    out = _fwd_call(packed, biases, lss, ptsdir, interpret=interpret)
+    return out, (packed, biases, lss, ptsdir)
+
+
+def _train_op_bwd(with_dw, interpret, resid, g):
+    packed, biases, lss, ptsdir = resid
+    dW, dB, dL = _bwd_call(packed, biases, lss, ptsdir, g, with_dw,
+                           interpret=interpret)
+    if not with_dw:
+        # LSA-only training: weights AND biases are frozen (reference sets
+        # requires_grad only on weight_scaling, pytorch_model:1129-1145)
+        dW = jax.tree.map(jnp.zeros_like, packed)
+        dB = jax.tree.map(jnp.zeros_like, biases)
+    dW = {k: v.astype(packed[k].dtype) for k, v in dW.items()}
+    return dW, dB, dL, jnp.zeros_like(ptsdir)
+
+
+_train_op.defvjp(_train_op_fwd, _train_op_bwd)
+
+
+def fused_nerf_mlp_train(params, ls, pts, viewdirs, config: nerf.NeRFConfig,
+                         with_dw: bool = False):
+    """Differentiable fused posenc+MLP from raw points (training fast path).
+
+    pts: (..., 3); viewdirs broadcastable. Returns raw (..., 4) f32 with
+    gradients defined for ``ls`` (and ``params`` weights/biases when
+    ``with_dw``); input positions get zero cotangents (they are data).
+    Falls back to the XLA MLP for non-flagship configs."""
+    if not supports(config):
+        from .posenc import positional_encoding
+        pe = positional_encoding(pts, 10)
+        ve = positional_encoding(jnp.broadcast_to(viewdirs, pts.shape), 4)
+        return nerf.apply_mlp(params, pe, ve, config, ls=ls)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    dtype = jnp.bfloat16 if config.compute_dtype == jnp.bfloat16 \
+        else jnp.float32
+
+    lead = pts.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    vd = jnp.broadcast_to(viewdirs, pts.shape)
+    ptsdir = jnp.concatenate(
+        [pts.reshape(n, 3), vd.reshape(n, 3),
+         jnp.zeros((n, 2), pts.dtype)], axis=-1).astype(jnp.float32)
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    if n_pad != n:
+        ptsdir = jnp.pad(ptsdir, ((0, n_pad - n), (0, 0)))
+
+    packed, biases, lss = pack_train(params, ls, dtype)
+    out = _train_op(packed, biases, lss, ptsdir, with_dw, interpret)
+    return out[:n, :4].reshape(*lead, 4)

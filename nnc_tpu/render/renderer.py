@@ -44,17 +44,27 @@ class RenderConfig:
     # skip the fine pass for rays whose coarse acc_map is below this (the
     # coarse result is substituted); 0 disables.
     empty_ray_eps: float = 1e-3
-    # fused-compositing tile sizes (rays x samples per grid step)
-    fusion_ray_tile: int = 32
+    # fused-compositing tile sizes (rays x samples per grid step); 64x32
+    # benched best on v5e across {32,64,128}x{16,32,48,64}
+    fusion_ray_tile: int = 64
     fusion_sample_block: int = 32
+    # training renders use the custom_vjp fused MLP (ops/mlp_train_pallas);
+    # set train_with_dw for fine-tuning (weight/bias grads, not just LSA)
+    use_fused_train: bool = False
+    train_with_dw: bool = False
 
 
 def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig,
                allow_fused: bool = True):
     """posenc + MLP over (R, S, 3) points. Returns raw (R, S, 4).
 
-    allow_fused=False forces the XLA path (the Pallas kernel defines no VJP,
-    so training/differentiation must not route through it)."""
+    allow_fused=False routes training: the differentiable fused kernel pair
+    (use_fused_train) or the XLA MLP (the inference kernel has no VJP)."""
+    if not allow_fused and rc.use_fused_train and rc.multires == 10 and \
+            rc.multires_views == 4:
+        from ..ops.mlp_train_pallas import fused_nerf_mlp_train
+        return fused_nerf_mlp_train(params, ls, pts, viewdirs[..., None, :],
+                                    rc.mlp, with_dw=rc.train_with_dw)
     if allow_fused and rc.use_fused_mlp and rc.multires == 10 and \
             rc.multires_views == 4:
         # fully fused path: posenc happens inside the Pallas kernel

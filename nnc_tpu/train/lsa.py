@@ -25,9 +25,22 @@ from ..utils.logging import ResultLogger, mse2psnr
 
 def double_mse_loss(scales, params, rays_o, rays_d, viewdirs, target, near,
                     far, key, rc: renderer.RenderConfig):
-    """loss = mse(fine, target) + mse(coarse, target); returns (loss, aux)."""
-    ls_c, ls_f = scales
-    params_c, params_f = params
+    """loss = mse(fine, target) + mse(coarse, target); returns (loss, aux).
+
+    ``scales`` is either ``(ls_c, ls_f)`` (LSA only) or a dict
+    ``{"ls": (ls_c, ls_f), "b": (bias_c, bias_f)}`` when fine-tuning also
+    trains the bias companions (the reference's ft tunes O_TYPES params —
+    biases/BN — against the quantized weights, pytorch_model:1129-1145)."""
+    if isinstance(scales, dict):
+        ls_c, ls_f = scales["ls"]
+        b_c, b_f = scales["b"]
+        params_c = {n: {"w": p["w"], "b": b_c[n]}
+                    for n, p in params[0].items()}
+        params_f = {n: {"w": p["w"], "b": b_f[n]}
+                    for n, p in params[1].items()}
+    else:
+        ls_c, ls_f = scales
+        params_c, params_f = params
     if viewdirs is None:
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     out = renderer.render_rays(
@@ -101,9 +114,11 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
                     near, far, *, learning_rate=1e-4, learning_rate_decay=0.1,
                     epochs=2, n_iters=1000, i_save=0, basedir_save=None,
                     global_step0=0, seed=451, verbose=True,
-                    save_hook=None, mesh=None, steps_per_call=8):
+                    save_hook=None, mesh=None, steps_per_call=8,
+                    tune_biases=False, tune_scales=True):
     """Run the full LSA optimization. Returns (ls_c, ls_f, mean_psnr,
-    mean_loss (of last epoch), logger).
+    mean_loss (of last epoch), global_step, biases) where ``biases`` is
+    ``(bias_c, bias_f)`` when ``tune_biases`` (fine-tuning) else None.
 
     save_hook(global_step, ls_c, ls_f): called at save points (checkpoint +
     test renders are the caller's responsibility, mirroring run_nerf.py's
@@ -111,7 +126,20 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
     """
     schedule = make_lr_schedule(learning_rate, learning_rate_decay, n_iters)
     optimizer = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
-    scales = (ls_c, ls_f)
+    if tune_biases:
+        scales = {"ls": (ls_c, ls_f),
+                  "b": ({n: p["b"] for n, p in params_c.items()},
+                        {n: p["b"] for n, p in params_f.items()})}
+        if not tune_scales:
+            # ft without lsa: bias companions train, scales stay frozen
+            # (reference requires_grad logic, pytorch_model:1129-1145)
+            optimizer = optax.multi_transform(
+                {"train": optimizer, "freeze": optax.set_to_zero()},
+                param_labels=lambda tree: {
+                    "ls": jax.tree.map(lambda _: "freeze", tree["ls"]),
+                    "b": jax.tree.map(lambda _: "train", tree["b"])})
+    else:
+        scales = (ls_c, ls_f)
     opt_state = optimizer.init(scales)
     params = (params_c, params_f)
 
@@ -180,7 +208,8 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
             global_step += k
             if i_save and (global_step == 1 or global_step % i_save == 0) \
                     and save_hook is not None:
-                save_hook(global_step, scales[0], scales[1])
+                cur_ls = scales["ls"] if isinstance(scales, dict) else scales
+                save_hook(global_step, cur_ls[0], cur_ls[1])
         mean_psnr = float(np.mean(psnrs))
         mean_loss = float(np.mean(losses))
         if verbose:
@@ -188,4 +217,7 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
                   f"mean loss {mean_loss:.6f}")
     if logger is not None:
         logger.flush()
-    return scales[0], scales[1], mean_psnr, mean_loss, global_step
+    if isinstance(scales, dict):
+        (fl_c, fl_f), biases = scales["ls"], scales["b"]
+        return fl_c, fl_f, mean_psnr, mean_loss, global_step, biases
+    return scales[0], scales[1], mean_psnr, mean_loss, global_step, None

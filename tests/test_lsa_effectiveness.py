@@ -61,7 +61,7 @@ def test_lsa_recovers_quantization_loss():
                          scene["i_train"], 128, seed=0)
     ls_c = nerf.init_lsa_scales(MLP)
     ls_f = nerf.init_lsa_scales(MLP)
-    ls_c, ls_f, _p, _l, _s = lsa.tune_lsa_scales(
+    ls_c, ls_f, _p, _l, _s, _b = lsa.tune_lsa_scales(
         qc, qf, ls_c, ls_f, batcher, RC, scene["near"], scene["far"],
         learning_rate=5e-3, learning_rate_decay=0, epochs=1, n_iters=150,
         verbose=False)
@@ -69,3 +69,49 @@ def test_lsa_recovers_quantization_loss():
     psnr_lsa = scene_psnr(scene, qc, qf, ls_c, ls_f)
     print(f"clean {psnr_clean:.2f} quant {psnr_quant:.2f} lsa {psnr_lsa:.2f}")
     assert psnr_lsa > psnr_quant + 0.3  # LSA recovers a visible margin
+
+
+def test_fine_tune_trains_biases():
+    """fine_tune (ft) tunes bias companions against quantized weights and
+    returns them; with tune_scales off the scales stay frozen."""
+    scene, (tc, tf_) = synthetic.make_scene(n_images=2, H=8, W=8, mlp=MLP,
+                                            rc=RC, seed=3)
+    qc, qf = quantize_params(tc), quantize_params(tf_)
+    batcher = RayBatcher(scene["images"], scene["poses"], scene["K"],
+                         scene["i_train"], 64, seed=0)
+    ls_c = nerf.init_lsa_scales(MLP)
+    ls_f = nerf.init_lsa_scales(MLP)
+    out_c, out_f, _p, _l, _s, biases = lsa.tune_lsa_scales(
+        qc, qf, ls_c, ls_f, batcher, RC, scene["near"], scene["far"],
+        learning_rate=5e-3, learning_rate_decay=0, epochs=1, n_iters=30,
+        verbose=False, tune_biases=True, tune_scales=False)
+    assert biases is not None
+    b_c, b_f = biases
+    moved = sum(float(np.abs(np.asarray(b_c[n]) -
+                             np.asarray(qc[n]["b"])).max()) for n in b_c)
+    assert moved > 0.0  # biases actually trained
+    for n in out_c:  # scales frozen
+        np.testing.assert_array_equal(np.asarray(out_c[n]),
+                                      np.asarray(ls_c[n]))
+
+
+def test_executer_fine_tune_returns_ft_params(tmp_path):
+    """NeRFModelExecuter.tune_model with ft_flag returns tuned bias tensors
+    (VERDICT: has_tune_ft must not lie)."""
+    from nnc_tpu.framework.executer import NeRFModelExecuter
+
+    scene, (tc, tf_) = synthetic.make_scene(n_images=2, H=8, W=8, mlp=MLP,
+                                            rc=RC, seed=3)
+    ex = NeRFModelExecuter(scene, RC, learning_rate=5e-3, epochs=1,
+                           n_iters=20, i_save=0, n_rand=64, verbose=False)
+    sd = {}
+    sd.update(nerf.params_to_state_dict(quantize_params(tc), "model."))
+    sd.update(nerf.params_to_state_dict(quantize_params(tf_), "model_fine."))
+    lsa_params, ft_params = ex.tune_model(
+        str(tmp_path / "bs" / "x.nnc"), sd,
+        {k: "weight" if k.endswith(".weight") else "bias" for k in sd},
+        lsa_flag=True, ft_flag=True)
+    assert lsa_params and ft_params
+    assert all(k.endswith(".bias") for k in ft_params)
+    moved = sum(float(np.abs(ft_params[k] - sd[k]).max()) for k in ft_params)
+    assert moved > 0.0

@@ -1,0 +1,86 @@
+"""Fused train-path MLP (custom_vjp fwd+bwd kernels): gradient correctness
+against the XLA reference on CPU (interpret mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nnc_tpu.models import nerf
+from nnc_tpu.ops.mlp_train_pallas import TILE, fused_nerf_mlp_train
+from nnc_tpu.ops.posenc import positional_encoding
+
+
+def _fixture(n=TILE):
+    mlp = nerf.NeRFConfig()  # f32 compute for exact comparison
+    params = nerf.init_params(jax.random.PRNGKey(0), mlp)
+    ls = nerf.init_lsa_scales(mlp, std=0.05, key=jax.random.PRNGKey(5))
+    pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    vd = jax.random.normal(jax.random.PRNGKey(2), (n, 3))
+    tgt = jax.random.normal(jax.random.PRNGKey(3), (n, 4))
+    return mlp, params, ls, pts, vd, tgt
+
+
+def _ref_loss(ls, params, pts, vd, tgt, mlp):
+    pe = positional_encoding(pts, 10)
+    ve = positional_encoding(vd, 4)
+    raw = nerf.apply_mlp(params, pe, ve, mlp, ls=ls)
+    return jnp.mean((raw - tgt) ** 2)
+
+
+def _fused_loss(ls, params, pts, vd, tgt, mlp, with_dw=False):
+    raw = fused_nerf_mlp_train(params, ls, pts, vd, mlp, with_dw=with_dw)
+    return jnp.mean((raw - tgt) ** 2)
+
+
+def test_forward_matches_reference():
+    mlp, params, ls, pts, vd, tgt = _fixture()
+    ref = np.asarray(_ref_loss(ls, params, pts, vd, tgt, mlp))
+    got = np.asarray(_fused_loss(ls, params, pts, vd, tgt, mlp))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def _assert_grads_close(got, ref, msg):
+    """f32 rounding differences can flip borderline relu masks, toggling a
+    measure-zero set of gradient contributions; require 99.9% elementwise
+    agreement and bound the outliers relative to the gradient scale."""
+    got, ref = np.asarray(got), np.asarray(ref)
+    scale = max(np.abs(ref).max(), 1e-12)
+    close = np.isclose(got, ref, rtol=5e-2, atol=5e-3 * scale)
+    assert close.mean() > 0.999, (msg, 1 - close.mean())
+    assert np.abs(got - ref).max() < 0.05 * scale, (
+        msg, np.abs(got - ref).max(), scale)
+
+
+def test_ls_gradients_match_reference():
+    mlp, params, ls, pts, vd, tgt = _fixture()
+    g_ref = jax.grad(_ref_loss)(ls, params, pts, vd, tgt, mlp)
+    g_got = jax.grad(_fused_loss)(ls, params, pts, vd, tgt, mlp)
+    for name in g_ref:
+        _assert_grads_close(g_got[name], g_ref[name], name)
+
+
+def test_weight_gradients_match_reference_with_dw():
+    mlp, params, ls, pts, vd, tgt = _fixture()
+    g_ref = jax.grad(_ref_loss, argnums=1)(ls, params, pts, vd, tgt, mlp)
+    g_got = jax.grad(
+        lambda p: _fused_loss(ls, p, pts, vd, tgt, mlp, with_dw=True))(params)
+    for name in g_ref:
+        for leaf in ("w", "b"):
+            _assert_grads_close(g_got[name][leaf], g_ref[name][leaf],
+                                f"{name}.{leaf}")
+
+
+def test_weight_gradients_zero_without_dw():
+    mlp, params, ls, pts, vd, tgt = _fixture()
+    g = jax.grad(
+        lambda p: _fused_loss(ls, p, pts, vd, tgt, mlp, with_dw=False))(params)
+    total = sum(float(jnp.abs(v).sum()) for d in g.values()
+                for v in d.values())
+    assert total == 0.0
+
+
+def test_padding_tail_gradients():
+    mlp, params, ls, pts, vd, tgt = _fixture(n=TILE + 17)
+    g_ref = jax.grad(_ref_loss)(ls, params, pts, vd, tgt, mlp)
+    g_got = jax.grad(_fused_loss)(ls, params, pts, vd, tgt, mlp)
+    for name in g_ref:
+        _assert_grads_close(g_got[name], g_ref[name], name)

@@ -37,7 +37,7 @@ def main():
     params_f = make_solid_mlp(mlp)
 
     # camera rays of a real view: coherent mix of surface hits + empty rays
-    H = W = 128
+    H, W = 64, 128  # full frame (object centered), chunk = H*W
     focal = 0.8 * W
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                  np.float32)
@@ -59,7 +59,7 @@ def main():
         "fused_noet": make_rc(use_fused_mlp=True, use_fused_compositing=True,
                               early_term_eps=0.0, empty_ray_eps=0.0),
     }
-    for r_t, s_blk in ((32, 32), (64, 32), (64, 64), (128, 32), (128, 64)):
+    for r_t, s_blk in ((64, 32),):
         variants[f"fused_et_{r_t}x{s_blk}"] = make_rc(
             use_fused_mlp=True, use_fused_compositing=True,
             early_term_eps=1e-4, empty_ray_eps=1e-3,
