@@ -1,57 +1,145 @@
-"""Benchmark: hierarchical NeRF render throughput (rays/sec/chip).
+"""Benchmark suite: render + LSA train + codec throughput. ONE JSON line.
 
-Runs the flagship configuration (8x256 MLP, lego operating point: 64 coarse +
-128 importance samples per ray, viewdirs, bf16 matmuls) on whatever backend
-JAX selects (TPU on the driver). Prints ONE JSON line.
+Primary metric: hierarchical NeRF render throughput (rays/sec/chip) on the
+flagship configuration (8x256 MLP, 64 coarse + 128 importance samples,
+viewdirs, bf16 MXU) over a solid-geometry synthetic scene (~35% of rays hit
+the object, the rest are empty — the regime early-ray-termination and
+empty-ray culling target; a fog scene would let culling do nothing and a
+random-init NeRF would let it skip everything). Extra metrics ride in the
+same JSON object: LSA train-step latency (fused custom_vjp kernels),
+encode/decode throughput of the 4.77 MB NeRFWrapper, compression ratio.
 """
 import json
 import time
 
 import numpy as np
 
+CHUNK = 8192
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
+def bench_render(jax, jnp):
+    from nnc_tpu.data.synthetic import look_at_poses, make_solid_mlp
     from nnc_tpu.models import nerf
     from nnc_tpu.render import renderer
+    from nnc_tpu.render.rays import get_rays_np
 
-    chunk = 8192
     mlp = nerf.NeRFConfig(compute_dtype=jnp.bfloat16)
-    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=128,
-                               white_bkgd=True, chunk=chunk,
-                               use_fused_mlp=True)
+    rc = renderer.RenderConfig(
+        mlp=mlp, n_samples=64, n_importance=128, white_bkgd=True,
+        chunk=CHUNK, use_fused_mlp=True, use_fused_compositing=True,
+        early_term_eps=1e-4, empty_ray_eps=1e-3)
     key = jax.random.PRNGKey(0)
-    params_c = nerf.init_params(key, mlp)
-    params_f = nerf.init_params(jax.random.fold_in(key, 1), mlp)
+    params_c = make_solid_mlp(mlp)
+    params_f = make_solid_mlp(mlp)
 
-    rng = np.random.default_rng(0)
-    rays_o = jnp.asarray(rng.normal(0, 0.1, (chunk, 3)).astype(np.float32))
-    rays_d = jnp.asarray(
-        (rng.normal(0, 0.2, (chunk, 3)) + [0, 0, -1]).astype(np.float32))
+    H, W = 64, 128  # one full frame = one chunk, object centered
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    pose = look_at_poses(1, seed=0)[0]
+    ro, rd = get_rays_np(H, W, K, pose[:3, :4])
+    rays_o = jnp.asarray(ro.reshape(-1, 3))
+    rays_d = jnp.asarray(rd.reshape(-1, 3))
 
     def run():
         return renderer.render_chunk(params_c, params_f, None, None, rays_o,
                                      rays_d, 2.0, 6.0, key, rc, True)
 
-    np.asarray(run()["rgb_map"])  # compile + warmup
-
-    iters = 10
+    out = run()
+    active = float(np.asarray(jnp.mean((out["acc_map"] > 1e-3) * 1.0)))
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()
-    # force completion with a device-to-host read (block_until_ready is not
-    # reliable on the experimental axon backend)
-    np.asarray(out["rgb_map"])
+    # force completion via a small device-to-host read (block_until_ready
+    # does not block on the axon backend)
+    np.asarray(jnp.sum(out["rgb_map"]))
     dt = time.perf_counter() - t0
+    return CHUNK * iters / dt, active
 
-    rays_per_sec = chunk * iters / dt
+
+def bench_train(jax, jnp):
+    import optax
+
+    from nnc_tpu.data.synthetic import make_solid_mlp
+    from nnc_tpu.models import nerf
+    from nnc_tpu.render import renderer
+    from nnc_tpu.train import lsa
+
+    mlp = nerf.NeRFConfig(compute_dtype=jnp.bfloat16)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=128,
+                               use_fused_train=True)
+    params = (make_solid_mlp(mlp), make_solid_mlp(mlp))
+    scales = (nerf.init_lsa_scales(mlp), nerf.init_lsa_scales(mlp))
+    key = jax.random.PRNGKey(0)
+    n = 1024
+    ro = jax.random.normal(key, (n, 3)) * 0.1
+    rd = jax.random.normal(jax.random.fold_in(key, 1), (n, 3)) * 0.2 + \
+        jnp.array([0, 0, -1.0])
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    tgt = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
+
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(scales)
+    step = lsa.make_train_step(rc, optimizer)
+    sc, st = scales, opt_state
+    sc, st, loss, _ = step(sc, st, params, ro, rd, vd, tgt, 2.0, 6.0, key)
+    _ = float(loss)
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        sc, st, loss, _ = step(sc, st, params, ro, rd, vd, tgt, 2.0, 6.0,
+                               key)
+    _ = float(loss)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_codec():
+    from nnc_tpu import compression
+    from nnc_tpu.models import nerf
+
+    mlp = nerf.NeRFConfig()
+    import jax
+    params_c = nerf.init_params(jax.random.PRNGKey(0), mlp)
+    params_f = nerf.init_params(jax.random.PRNGKey(1), mlp)
+    sd = {}
+    sd.update(nerf.params_to_state_dict(params_c, "model."))
+    sd.update(nerf.params_to_state_dict(params_f, "model_fine."))
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    raw_bytes = sum(v.nbytes for v in sd.values())
+
+    t0 = time.perf_counter()
+    bs = compression.compress(sd, bitstream_path=None, qp=-20,
+                              return_bitstream=True, verbose=False)
+    t_enc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    compression.decompress(bs, verbose=False, num_workers=4)
+    t_dec = time.perf_counter() - t0
+    return (raw_bytes / t_enc / 1e6, raw_bytes / t_dec / 1e6,
+            len(bs) / raw_bytes)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    rays_per_sec, active = bench_render(jax, jnp)
+    train_ms = bench_train(jax, jnp) * 1e3
+    enc_mbps, dec_mbps, ratio = bench_codec()
+
     print(json.dumps({
         "metric": "render_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / 5e6, 4),
+        "extra_metrics": {
+            "scene_active_ray_fraction": round(active, 3),
+            "lsa_train_step_ms_nrand1024": round(train_ms, 2),
+            "lsa_train_rays_per_sec": round(1024 / (train_ms / 1e3), 1),
+            "codec_encode_MBps": round(enc_mbps, 2),
+            "codec_decode_MBps": round(dec_mbps, 2),
+            "compression_ratio_qp20": round(ratio, 4),
+        },
     }))
 
 
@@ -67,3 +155,5 @@ if __name__ == "__main__":
             "error": f"{type(exc).__name__}: {exc}"[:300],
         }))
         raise
+
+
