@@ -32,6 +32,7 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 namespace {
 
@@ -519,6 +520,11 @@ static void encode_layer_impl(Encoder& E, const int32_t* v, int64_t h,
                               int64_t w, int dq_flag, int scan_order) {
   const int64_t chunks = num_chunks(h, w, scan_order);
   const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
+  // a chunked layer starts on a fresh byte-aligned segment so the entry-
+  // point anchor (layer_start) is identical on the encoder and decoder
+  // (otherwise bytes of the preceding iae_v qp-delta still pending in the
+  // range coder's cache would shift the encoder's anchor)
+  if (chunks > 1) E.close_engine();
   const int64_t layer_start = (int64_t)E.stream.size();
   E.entry_points.clear();
 
@@ -566,12 +572,88 @@ static void encode_layer_impl(Encoder& E, const int32_t* v, int64_t h,
   }
 }
 
+// Decode one chunk independently from absolute byte offset `start`; returns
+// the end position (exact, symmetric byte accounting).
+static int64_t decode_chunk_at(const uint8_t* data, int64_t size,
+                               int64_t start, int32_t* v, int64_t r0,
+                               int64_t r1, int64_t w, int dq_flag,
+                               int unary_len, int profile, bool read_profile) {
+  RangeDecoder rc;
+  rc.start(data, size, start);
+  TensorCtxs cx;
+  cx.init(unary_len);
+  if (read_profile) (void)rc.decode_bypass_bits(2);
+  cx.set_profile(profile);
+  int state = 0;
+  int prev_sig = 0;
+  for (int64_t i = r0 * w; i < r1 * w; ++i) {
+    const int32_t q = decode_value(rc, cx,
+                                   sig_ctx_of(dq_flag, state, prev_sig),
+                                   unary_len);
+    v[i] = q;
+    prev_sig = q != 0;
+    if (dq_flag) state = kStateTrans[state][(int)(std::llabs((long long)q) & 1)];
+  }
+  return rc.pos;
+}
+
 static void decode_layer_impl(Decoder& D, int32_t* v, int64_t h, int64_t w,
                               int dq_flag, int scan_order, bool create_eps) {
   const int64_t chunks = num_chunks(h, w, scan_order);
   const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
+  if (chunks > 1) D.close_engine();  // matches the encoder's anchor flush
   const int64_t layer_start = D.segment_start;
   if (create_eps) D.entry_points.clear();
+
+  // entry-point fast path: all chunk starts are known, so block-rows decode
+  // independently (threaded where cores exist; also the seek primitive for
+  // random access). Mirrors the reference's setEntryPoints -> decodeLayer
+  // (reference: nnc_core/coder/__init__.py:439).
+  if (chunks > 1 && (int64_t)D.set_eps.size() == chunks - 1) {
+    std::vector<int64_t> starts(chunks);
+    starts[0] = layer_start;
+    for (int64_t c = 1; c < chunks; ++c)
+      starts[c] = layer_start + (int64_t)(D.set_eps[c - 1] >> 11);
+    // profile is signaled once at the start of chunk 0
+    RangeDecoder prc;
+    prc.start(D.stream.data(), (int64_t)D.stream.size(), layer_start);
+    const int profile = (int)prc.decode_bypass_bits(2);
+
+    int64_t last_end = 0;
+    auto work = [&](int64_t c0, int64_t c1) {
+      for (int64_t c = c0; c < c1; ++c) {
+        const int64_t r0 = c * bh;
+        const int64_t r1 = std::min(h, r0 + bh);
+        const int64_t end = decode_chunk_at(
+            D.stream.data(), (int64_t)D.stream.size(), starts[c], v, r0, r1,
+            w, dq_flag, D.unary_len, profile, c == 0);
+        if (c == chunks - 1) last_end = end;
+      }
+    };
+    const int64_t nt = std::min<int64_t>(
+        chunks, std::max(1u, std::thread::hardware_concurrency()));
+    if (nt > 1) {
+      std::vector<std::thread> pool;
+      const int64_t per = (chunks + nt - 1) / nt;
+      for (int64_t t = 0; t < nt; ++t) {
+        const int64_t c0 = t * per;
+        const int64_t c1 = std::min(chunks, c0 + per);
+        if (c0 < c1) pool.emplace_back(work, c0, c1);
+      }
+      for (auto& th : pool) th.join();
+    } else {
+      work(0, chunks);
+    }
+    if (create_eps) {
+      for (int64_t c = 1; c < chunks; ++c)
+        D.entry_points.push_back((uint64_t)(starts[c] - layer_start) << 11);
+    }
+    D.segment_start = last_end;
+    D.engine_open = false;
+    D.set_eps.clear();
+    return;
+  }
+  D.set_eps.clear();  // stale/mismatched entry points are ignored
 
   int profile = 0;
   for (int64_t c = 0; c < chunks; ++c) {
@@ -742,6 +824,35 @@ void dc_dec_get_entry_points(void* d, uint64_t* out) {
 void dc_dec_set_entry_points(void* d, const uint64_t* eps, int n) {
   Decoder& D = *(Decoder*)d;
   D.set_eps.assign(eps, eps + n);
+}
+
+// Random access: decode only chunks [c0, c1) of a scan_order>0 layer into
+// the corresponding rows of v, seeking via the entry points provided with
+// dc_dec_set_entry_points (which are NOT consumed). The decoder must be
+// positioned at the layer (after the per-tensor iae_v qp delta); its
+// sequential position is left at the layer start.
+int dc_dec_decode_rows(void* d, int32_t* v, int64_t h, int64_t w,
+                       int dq_flag, int scan_order, int64_t c0, int64_t c1) {
+  Decoder& D = *(Decoder*)d;
+  const int64_t chunks = num_chunks(h, w, scan_order);
+  const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
+  if (chunks <= 1 || (int64_t)D.set_eps.size() != chunks - 1 ||
+      c0 < 0 || c1 > chunks || c0 >= c1)
+    return -1;
+  D.close_engine();  // anchor (symmetric with the encoder's pre-layer flush)
+  const int64_t layer_start = D.segment_start;
+  RangeDecoder prc;
+  prc.start(D.stream.data(), (int64_t)D.stream.size(), layer_start);
+  const int profile = (int)prc.decode_bypass_bits(2);
+  for (int64_t c = c0; c < c1; ++c) {
+    const int64_t start = c == 0 ? layer_start
+        : layer_start + (int64_t)(D.set_eps[c - 1] >> 11);
+    const int64_t r0 = c * bh;
+    const int64_t r1 = std::min(h, r0 + bh);
+    decode_chunk_at(D.stream.data(), (int64_t)D.stream.size(), start, v, r0,
+                    r1, w, dq_flag, D.unary_len, profile, c == 0);
+  }
+  return 0;
 }
 
 // Terminate the current engine run; position advances exactly past the segment.

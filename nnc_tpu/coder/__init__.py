@@ -88,6 +88,27 @@ def compile_tpl(model_info):
     }
 
 
+def compile_ndu_oob(tensor_dims=None, cabac_unary_length_minus1=None,
+                    compressed_parameter_types=None,
+                    decomposition_parameter_dict=None):
+    """Out-of-band NDU parameters: fields provided here are omitted from the
+    serialized headers; the decoder must be handed the same values (via
+    ``decode(..., model_info=...)``). (reference:
+    nnc_core/coder/syntax_compiler.py:44-63)"""
+    oob = {}
+    have_all = (tensor_dims is not None
+                and cabac_unary_length_minus1 is not None
+                and compressed_parameter_types is not None
+                and (decomposition_parameter_dict is not None
+                     or not (compressed_parameter_types or 0)
+                     & _CPT.NNR_CPT_DC))
+    oob["input_parameters_present_flag"] = 0 if have_all else 1
+    oob["tensor_dimensions_flag"] = 0 if tensor_dims is not None else 1
+    oob["cabac_unary_length_flag"] = \
+        0 if cabac_unary_length_minus1 is not None else 1
+    return oob
+
+
 def _coded_tensors(block_or_param, approx_data):
     """Payload-ordered [(par_type, name, dims)] of the unit's coded tensors."""
     return list(block_or_param.param_generator(
@@ -95,7 +116,7 @@ def _coded_tensors(block_or_param, approx_data):
 
 
 def compile_ndu(param, approx_data, enc_info, model_info, is_block, cpt,
-                block_access, tensor_dims):
+                block_access, tensor_dims, ndu_oob=None):
     h = {
         "nnr_unit_type": hls.NnrUnitType.NNR_NDU,
         "partial_data_counter_present_flag": 0,
@@ -179,6 +200,13 @@ def compile_ndu(param, approx_data, enc_info, model_info, is_block, cpt,
 
     if len(tensor_dims) > 1:
         h["scan_order"] = int(approx_data["scan_order"].get(param, 0))
+    if ndu_oob:
+        # fields carried out-of-band keep their values in h (the writer
+        # needs dims for the scan/EP sections) but are not serialized
+        for k in ("input_parameters_present_flag", "tensor_dimensions_flag",
+                  "cabac_unary_length_flag"):
+            if k in ndu_oob:
+                h[k] = ndu_oob[k]
     return h
 
 
@@ -210,8 +238,10 @@ def _encode_ndu_payload(block_or_param, approx_data, enc_info, mps_qp):
     return enc.finish().tobytes(), ep_lists
 
 
-def encode(enc_info, model_info, approx_data):
+def encode(enc_info, model_info, approx_data, ndu_oob=None):
     """Serialize model_info + approx_data into a full NNR bitstream.
+    ``ndu_oob`` (from :func:`compile_ndu_oob`) omits the flagged NDU header
+    fields; decoding then requires external model information.
     (reference: coder/__init__.py:100-148)"""
     bitstream = bytearray()
     topology_present = model_info["topology_storage_format"] is not None
@@ -232,12 +262,12 @@ def encode(enc_info, model_info, approx_data):
             w = block_or_param.w
             dims = model_info["parameter_dimensions"][w]
             h = compile_ndu(None, approx_data, enc_info, model_info, True,
-                            cpt, block_or_param, dims)
+                            cpt, block_or_param, dims, ndu_oob)
         else:
             param = block_or_param.param
             dims = approx_data["parameters"][param].shape
             h = compile_ndu(param, approx_data, enc_info, model_info, False,
-                            0, None, dims)
+                            0, None, dims, ndu_oob)
 
         if h["nnr_compressed_data_unit_payload_type"] == _PT.NNR_PT_RAW_FLOAT:
             bitstream += syntax.encode_unit(h)
@@ -368,6 +398,10 @@ def _decode_ndu(h, payload, approx_data, model_info, next_index):
         register(name, ptype, dims)
 
     hdr_dq = int(h.get("dq_flag", 0))
+    # entry-point lists arrive in payload order of the >=2-D tensors; feed
+    # each to the decoder so chunked layers decode via entry-point seeking
+    # (threaded block-rows; reference: setEntryPoints coder/__init__.py:439)
+    ep_lists = list(h.get("cabac_entry_point_lists", []))
     for name, _ptype, shape, method, cb_suffix in plan:
         dq = 0 if method in ("codebook", "skip") else hdr_dq
         dec.initCtxModels(culm1)
@@ -376,6 +410,9 @@ def _decode_ndu(h, payload, approx_data, model_info, next_index):
             approx_data["qp"][name] = np.int32(mps_qp + qp_delta)
         out = np.zeros(shape, dtype=np.int32)
         tensor_scan = scan if len(shape) > 1 else 0
+        if tensor_scan > 0 and ep_lists:
+            eps, _ep_dq = ep_lists.pop(0)
+            dec.setEntryPoints(np.asarray(eps, dtype=np.uint64))
         dec.decodeLayer(out, dq, tensor_scan)
         dec.terminate_segment()
         approx_data["parameters"][name] = out
@@ -396,6 +433,26 @@ def _decode_ndu(h, payload, approx_data, model_info, next_index):
     return used
 
 
+def _surface_performance_maps(model_info, h, kind):
+    """Expose decoded MPS/LPS performance maps + flags on model_info
+    (reference: nnc/compression.py:590-607 model_information surface)."""
+    flags = model_info.setdefault("performance_map_flags", {})
+    maps = model_info.setdefault("performance_maps", {"mps": {}, "lps": {}})
+    for name in ("sparsification_flag", "pruning_flag", "unification_flag"):
+        key = f"{kind}_{name}"
+        if key in h:
+            flags[key] = h[key]
+    if kind == "mps":
+        flags["mps_decomposition_performance_map_flag"] = \
+            h.get("mps_decomposition_performance_map_flag", 0)
+    for name in ("sparsification_performance_map", "pruning_performance_map",
+                 "unification_performance_map",
+                 "decomposition_performance_map"):
+        key = f"{kind}_{name}"
+        if key in h:
+            maps[kind][name] = h[key]
+
+
 def decode(bitstream, model_info=None, num_workers: int = 0):
     """Parse a full NNR bitstream. Returns (model_info, approx_data).
     (reference: coder/__init__.py:620-673)
@@ -404,6 +461,11 @@ def decode(bitstream, model_info=None, num_workers: int = 0):
     independent byte-delimited unit and the native CABAC decoder releases the
     GIL, so decode scales across host cores (the reference is strictly
     serial)."""
+    oob = None
+    if model_info and model_info.get("parameter_dimensions"):
+        # external model information doubles as the out-of-band parameter
+        # source for streams encoded with compile_ndu_oob
+        oob = model_info
     if model_info is None:
         model_info = {}
     model_info.setdefault("parameter_type", {})
@@ -432,18 +494,34 @@ def decode(bitstream, model_info=None, num_workers: int = 0):
     first = True
     ndus = []  # (header, payload) deferred for (possibly parallel) decode
     while r.byte_pos < len(data):
-        h, payload_start, unit_end = syntax.decode_unit_header(r)
+        if r.byte_pos + 4 > len(data):
+            raise ValueError(
+                f"truncated bitstream: {len(data) - r.byte_pos} trailing "
+                f"bytes cannot hold a unit size field")
+        h, payload_start, unit_end = syntax.decode_unit_header(r, oob=oob)
+        if unit_end > len(data):
+            raise ValueError(
+                f"truncated bitstream: unit claims {unit_end - r.byte_pos} "
+                f"more bytes but only {len(data) - r.byte_pos} remain")
         utype = h["nnr_unit_type"]
         if first:
             assert utype == hls.NnrUnitType.NNR_STR, \
                 "bitstream must start with NNR_STR"
             first = False
-        if utype == hls.NnrUnitType.NNR_MPS:
+        if utype is None:
+            pass  # unknown unit type: skipped by size (parse tolerance)
+        elif utype == hls.NnrUnitType.NNR_MPS:
             if h["mps_quantization_method_flags"] & \
                     hls.QuantizationMethodFlags.NNR_QSU:
                 approx_data["qp_density"] = np.int32(h["mps_qp_density"])
                 approx_data["_mps_qp"] = int(
                     h.get("mps_quantization_parameter", 0))
+            _surface_performance_maps(model_info, h, "mps")
+        elif utype == hls.NnrUnitType.NNR_LPS:
+            # layer parameter sets carry per-layer performance maps; their
+            # quantization overrides apply to subsequent NDUs (none are
+            # produced by this encoder — decoded for parity/tolerance)
+            _surface_performance_maps(model_info, h, "lps")
         elif utype == hls.NnrUnitType.NNR_TPL:
             model_info["topology_storage_format"] = \
                 hls.TopologyStorageFormat(h["topology_storage_format"])

@@ -27,7 +27,7 @@ _lib = None
 def _build_library() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        _SRC, "-o", _LIB,
+        "-pthread", _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -74,6 +74,9 @@ def _load():
             "dc_dec_num_entry_points": ([c.c_void_p], c.c_int),
             "dc_dec_get_entry_points": ([c.c_void_p, u64p], None),
             "dc_dec_set_entry_points": ([c.c_void_p, u64p, c.c_int], None),
+            "dc_dec_decode_rows": ([c.c_void_p, i32p, c.c_int64, c.c_int64,
+                                    c.c_int, c.c_int, c.c_int64, c.c_int64],
+                                   c.c_int),
             "dc_dec_terminate_segment": ([c.c_void_p], None),
             "dc_dec_finish": ([c.c_void_p], c.c_int64),
             "dc_dequant_layer": ([f32p, i32p, c.c_int64, c.c_int64, c.c_int,
@@ -206,6 +209,21 @@ class Decoder:
         self._lib.dc_dec_set_entry_points(
             self._h, eps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             eps.size)
+
+    def decodeLayerRows(self, out_int32: np.ndarray, dq_flag: int,
+                        scan_order: int, chunk_begin: int, chunk_end: int):
+        """Random access: decode only block-row chunks [begin, end) of a
+        scan_order>0 layer, seeking via setEntryPoints offsets. Rows outside
+        the range are left untouched. (reference capability:
+        setEntryPoints -> decodeLayer, nnc_core/coder/__init__.py:439)"""
+        assert out_int32.dtype == np.int32 and out_int32.flags["C_CONTIGUOUS"]
+        h, w = _hw(out_int32.shape)
+        rc = self._lib.dc_dec_decode_rows(
+            self._h, _i32p(out_int32), h, w, int(dq_flag), int(scan_order),
+            int(chunk_begin), int(chunk_end))
+        if rc != 0:
+            raise ValueError("decodeLayerRows requires matching entry points"
+                             " and a chunked (scan_order>0) layer")
 
     def terminate_segment(self):
         self._lib.dc_dec_terminate_segment(self._h)

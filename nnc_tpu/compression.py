@@ -305,12 +305,14 @@ def compress(parameter_dict,
 
 
 def decompress(bitstream_or_path, verbose=True, return_model_information=False,
-               num_workers=0):
+               num_workers=0, model_info=None):
     """Decode an NNR bitstream back to a parameter dict.
     (reference: nnc/compression.py:566-672)
 
     num_workers > 1 decodes independent NDUs across host threads (the
-    native decoder releases the GIL)."""
+    native decoder releases the GIL). ``model_info`` supplies external model
+    information (required for streams encoded with out-of-band NDU headers,
+    see coder.compile_ndu_oob)."""
     timer = StageTimer(verbose)
     if isinstance(bitstream_or_path, (str, os.PathLike)):
         with open(bitstream_or_path, "rb") as f:
@@ -320,6 +322,7 @@ def decompress(bitstream_or_path, verbose=True, return_model_information=False,
 
     with timer.stage("DECODING"):
         model_info, approx_data = coder.decode(bitstream,
+                                               model_info=model_info,
                                                num_workers=num_workers)
 
     with timer.stage("RECONSTRUCTION"):

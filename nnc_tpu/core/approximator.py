@@ -581,44 +581,74 @@ def run_ft_and_lsa(model_info, approx_data, ap_info, model_executer,
 
 def inference_based_qp_opt(approx_info, model_info, model_executer,
                            approx_data, param_opt, cabac_unary_length_minus1,
-                           verbose=True, acc_drop_threshold=0.01):
-    """Inference-optimised QP: probe each tensor at qp and qp-(1<<qp_density),
-    keep the cheaper QP whose eval accuracy stays within the threshold of the
-    all-fine baseline. A simplified, capability-compatible version of the
-    reference's IOQ loop (reference: approximator:387-600)."""
-    qp_density = int(approx_data["qp_density"])
-    base_info = copy.deepcopy(approx_info)
+                           verbose=True, qp_offsets=(-4, -3, -2, -1,
+                                                     1, 2, 3, 4)):
+    """Inference-optimised QP assignment, rate-distortion style.
 
-    # Baseline accuracy with current QPs
-    ad_q = approx(base_info, model_info, approx_data, param_opt,
-                  verbose=verbose)
-    ad_rec = copy.deepcopy(ad_q)
-    rec(ad_rec)
-    base_acc = model_executer.eval_model(ad_rec["parameters"],
-                                         verbose=verbose)
-    base_acc = base_acc[0] if isinstance(base_acc, (tuple, list)) else base_acc
-    if verbose:
-        print(f"\tIOQ: baseline accuracy {base_acc}")
+    Mirrors the reference algorithm (reference: approximator:387-600):
+    (1) quantize+encode+eval at QP, QP-1 and QP+1 globally to estimate the
+    accuracy-per-byte tradeoff lambda = max((lambda_-1 + lambda_+1)/2, 0);
+    (2) greedily refine per-tensor QPs (weights sorted by size, the largest
+    kept at the global QP as the reference does) over ``qp_offsets``,
+    accepting a change when cost = accuracy_drop + lambda * byte_delta
+    improves on the best so far."""
+    from .. import coder as _coder
 
-    for param in list(approx_info["qp"].keys()):
-        ptype = model_info["parameter_type"].get(
-            param[:-2] if (param.endswith("_G") or param.endswith("_H"))
-            else param)
-        if ptype not in W_TYPES:
-            continue
-        trial = copy.deepcopy(base_info)
-        trial["qp"][param] = int(trial["qp"][param]) + (1 << qp_density)
-        ad_t = approx(trial, model_info, approx_data, param_opt,
-                      verbose=False)
-        ad_tr = copy.deepcopy(ad_t)
-        rec(ad_tr)
-        acc = model_executer.eval_model(ad_tr["parameters"], verbose=False)
+    enc_info = {"cabac_unary_length_minus1": cabac_unary_length_minus1,
+                "param_opt_flag": param_opt}
+
+    def measure(info):
+        ad_q = approx(info, model_info, approx_data, param_opt, verbose=False)
+        bs = _coder.encode(enc_info, model_info, ad_q)
+        ad_r = ad_q  # approx() deep-copies approx_data; safe to rec in place
+        rec(ad_r)
+        acc = model_executer.eval_model(ad_r["parameters"], verbose=False)
         acc = acc[0] if isinstance(acc, (tuple, list)) else acc
-        if acc >= base_acc - acc_drop_threshold:
-            approx_info["qp"][param] = trial["qp"][param]
-            if verbose:
-                print(f"\tIOQ: {param} qp -> {trial['qp'][param]} "
-                      f"(acc {acc})")
+        return len(bs), float(acc)
+
+    def weight_params(info):
+        out = []
+        for p in info["qp"]:
+            base = p[:-2] if (p.endswith("_G") or p.endswith("_H")) else p
+            if model_info["parameter_type"].get(base) in W_TYPES:
+                out.append(p)
+        return out
+
+    ref_size, ref_acc = measure(approx_info)
+    if verbose:
+        print(f"\tIOQ: baseline {ref_size} bytes, accuracy {ref_acc}")
+
+    lambdas = []
+    for global_off in (-1, +1):
+        info = copy.deepcopy(approx_info)
+        for p in weight_params(info):
+            info["qp"][p] = int(info["qp"][p]) + global_off
+        size, acc = measure(info)
+        diff_br = size - ref_size
+        lambdas.append(-(ref_acc - acc) / diff_br if diff_br else 0.0)
+        if verbose:
+            print(f"\tIOQ: QP{global_off:+d} -> {size} bytes, acc {acc}")
+    lamb = max((lambdas[0] + lambdas[1]) / 2.0, 0.0)
+
+    by_size = sorted(weight_params(approx_info),
+                     key=lambda p: approx_data["parameters"][p].size,
+                     reverse=True)
+    best_info = copy.deepcopy(approx_info)
+    best_cost = 0.0
+    for p in by_size[1:]:  # the largest tensor stays at the global QP
+        for qp_off in qp_offsets:
+            trial = copy.deepcopy(best_info)
+            trial["qp"][p] = int(approx_info["qp"][p]) + qp_off
+            size, acc = measure(trial)
+            cost = (ref_acc - acc) + lamb * (size - ref_size)
+            if cost < best_cost:
+                best_cost = cost
+                best_info = trial
+                if verbose:
+                    print(f"\tIOQ: {p} qp -> {trial['qp'][p]} "
+                          f"(cost {cost:.6f}, {size} bytes, acc {acc})")
+    approx_info.clear()
+    approx_info.update(best_info)
 
 
 class ApproxInfo:

@@ -124,6 +124,10 @@ class BitWriter:
         assert self._nbits_in_cur == 0
         self._bytes.extend(np.float32(x).tobytes())
 
+    def flt_bits(self, x) -> None:
+        """32-bit float at arbitrary bit position (performance-map fields)."""
+        self.u(32, int(np.float32(x).view(np.uint32)))
+
     def flt_tensor(self, n: int, x: np.ndarray) -> None:
         assert n == 32
         assert self._nbits_in_cur == 0
@@ -237,6 +241,9 @@ class BitReader:
         v = np.frombuffer(bytes(self._bytes[self._byte_pos:self._byte_pos + 4]), dtype="<f4")[0]
         self._byte_pos += 4
         return v
+
+    def flt_bits(self) -> float:
+        return float(np.uint32(self.u(32)).view(np.float32))
 
     def flt_tensor(self, n: int, dims):
         assert n == 32 and self._bit_pos == 7

@@ -183,3 +183,90 @@ def test_quant_dq_state_consistency_with_scan_order():
     rec = np.zeros(x.shape, dtype=np.float32)
     dec.dequantLayer(rec, q, qpd, qp, so, 1)
     assert np.abs(rec - x).max() <= delta + 1e-7
+
+
+def test_encoder_eps_match_decoder_created_eps():
+    """The entry points the encoder records must equal the ones a decoder
+    derives (guards the shared segment anchor before chunked layers)."""
+    from nnc_tpu.coder import cabac
+    rng = np.random.default_rng(11)
+    v = (rng.normal(0, 2.0, (256, 16)) ** 3).astype(np.int32)
+    enc = cabac.Encoder()
+    enc.initCtxModels(10, 0)
+    enc.iae_v(8, -12)  # qp delta ahead of the layer, like a real NDU
+    enc.encodeLayer(v, 1, 1)
+    enc_eps = enc.getEntryPoints()
+    enc.terminate_segment()
+    payload = enc.finish().tobytes()
+    assert len(enc_eps) > 0
+
+    dec = cabac.Decoder()
+    dec.setStream(payload)
+    dec.initCtxModels(10)
+    assert dec.iae_v(8) == -12
+    out = np.zeros_like(v)
+    dec_eps = dec.decodeLayerAndCreateEPs(out, 1, 1)
+    np.testing.assert_array_equal(out, v)
+    np.testing.assert_array_equal(enc_eps, dec_eps)
+
+
+def test_entry_point_seek_decodes_single_block_row():
+    """decodeLayerRows(c, c+1) reproduces exactly that block-row without
+    decoding the rest (random access / intra-tensor parallel decode)."""
+    from nnc_tpu.coder import cabac
+    from nnc_tpu.coder.cabac import _load
+    rng = np.random.default_rng(12)
+    v = (rng.normal(0, 2.0, (512, 8)) ** 3).astype(np.int32)
+    enc = cabac.Encoder()
+    enc.initCtxModels(10, 0)
+    enc.iae_v(8, 3)
+    enc.encodeLayer(v, 1, 1)
+    eps = enc.getEntryPoints()
+    enc.terminate_segment()
+    payload = enc.finish().tobytes()
+    n_chunks = len(eps) + 1
+    assert n_chunks >= 3
+
+    bh = (v.shape[0] + n_chunks - 1) // n_chunks
+    for c in (0, 1, n_chunks - 1):
+        dec = cabac.Decoder()
+        dec.setStream(payload)
+        dec.initCtxModels(10)
+        assert dec.iae_v(8) == 3
+        dec.setEntryPoints(eps)
+        out = np.full_like(v, -999)
+        dec.decodeLayerRows(out, 1, 1, c, c + 1)
+        r0, r1 = c * bh, min(v.shape[0], (c + 1) * bh)
+        np.testing.assert_array_equal(out[r0:r1], v[r0:r1])
+        # untouched outside the requested rows
+        assert (out[:r0] == -999).all() and (out[r1:] == -999).all()
+
+
+def test_set_entry_points_full_decode_matches_sequential():
+    from nnc_tpu.coder import cabac
+    rng = np.random.default_rng(13)
+    v = (rng.normal(0, 3.0, (300, 11)) ** 3).astype(np.int32)
+    enc = cabac.Encoder()
+    enc.initCtxModels(10, 1)
+    enc.encodeLayer(v, 1, 2)
+    eps = enc.getEntryPoints()
+    enc.terminate_segment()
+    payload = enc.finish().tobytes()
+
+    d1 = cabac.Decoder()
+    d1.setStream(payload)
+    d1.initCtxModels(10)
+    out1 = np.zeros_like(v)
+    d1.decodeLayer(out1, 1, 2)
+    consumed1 = d1.finish()
+
+    d2 = cabac.Decoder()
+    d2.setStream(payload)
+    d2.initCtxModels(10)
+    d2.setEntryPoints(eps)
+    out2 = np.zeros_like(v)
+    d2.decodeLayer(out2, 1, 2)
+    consumed2 = d2.finish()
+    np.testing.assert_array_equal(out1, v)
+    np.testing.assert_array_equal(out2, v)
+    assert consumed1 == consumed2 == len(payload)

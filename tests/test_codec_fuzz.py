@@ -3,7 +3,9 @@ import numpy as np
 import pytest
 
 import nnc_tpu
+from nnc_tpu import compression, hls
 from nnc_tpu.core import common
+from nnc_tpu.hls import syntax
 
 
 def random_param_dict(rng, case):
@@ -90,3 +92,121 @@ def test_codebook_mode2_rd_choice(tmp_path):
                      verbose=False)
     rec = nnc_tpu.decompress(bs, verbose=False)
     assert np.abs(rec["few.weight"] - few).max() < 0.01
+
+
+def _spm(n=2):
+    return {"sparsification_threshold": [0.1 * (i + 1) for i in range(n)],
+            "non_zero_ratio": [0.5] * n,
+            "spm_nn_accuracy": [0.9] * n,
+            "spm_class_bitmask": [3] * n,
+            "spm_nn_class_accuracy": [[0.8, 0.7]] * n}
+
+
+def _make_lps_unit():
+    return {
+        "nnr_unit_type": hls.NnrUnitType.NNR_LPS,
+        "partial_data_counter_present_flag": 0,
+        "independently_decodable_flag": 1,
+        "lps_self_contained_flag": 1,
+        "lps_sparsification_flag": 1,
+        "lps_pruning_flag": 0,
+        "lps_unification_flag": 0,
+        "lps_quantization_method_flags": 1,
+        "lps_qp_density": 2,
+        "lps_quantization_parameter": -20,
+        "lps_sparsification_performance_map": _spm(),
+    }
+
+
+def test_lps_unit_roundtrip():
+    buf = syntax.encode_unit(_make_lps_unit())
+    h, payload_start, end = syntax.decode_unit_header(hls.BitReader(bytes(buf)))
+    assert h["nnr_unit_type"] == hls.NnrUnitType.NNR_LPS
+    assert h["lps_quantization_parameter"] == -20
+    m = h["lps_sparsification_performance_map"]
+    assert m["spm_class_bitmask"] == [3, 3]
+    np.testing.assert_allclose(m["sparsification_threshold"], [0.1, 0.2],
+                               rtol=1e-6)
+    assert end == len(buf)
+
+
+def test_mps_performance_maps_roundtrip():
+    mps = {
+        "nnr_unit_type": hls.NnrUnitType.NNR_MPS,
+        "partial_data_counter_present_flag": 0,
+        "independently_decodable_flag": 1,
+        "topology_carriage_flag": 0,
+        "mps_sparsification_flag": 1,
+        "mps_pruning_flag": 1,
+        "mps_unification_flag": 1,
+        "mps_decomposition_performance_map_flag": 1,
+        "mps_quantization_method_flags": 1,
+        "mps_topology_indexed_reference_flag": 0,
+        "mps_qp_density": 2,
+        "mps_quantization_parameter": 0,
+        "mps_sparsification_performance_map": _spm(),
+        "mps_pruning_performance_map": {
+            "pruning_ratio": [0.25], "ppm_nn_accuracy": [0.88],
+            "ppm_class_bitmask": [1], "ppm_nn_class_accuracy": [[0.8]]},
+        "mps_unification_performance_map": {
+            "reshaped_tensor_dimensions": [[4, 4]],
+            "super_block_dimensions": [[2]], "block_dimensions": [[2, 2]],
+            "unification_threshold": [0.5], "upm_nn_accuracy": [0.9],
+            "upm_count_classes": [5], "upm_class_bitmask": [2],
+            "upm_nn_class_accuracy": [[0.7, 0.6]]},
+        "mps_decomposition_performance_map": {
+            "mse_threshold": [1e-3], "dpm_nn_accuracy": [0.91],
+            "nn_reduction_ratio": [0.4], "dpm_nn_class_accuracy": [[0.5]]},
+    }
+    buf = syntax.encode_unit(mps)
+    h, _, end = syntax.decode_unit_header(hls.BitReader(bytes(buf)))
+    assert end == len(buf)
+    assert h["mps_pruning_performance_map"]["ppm_nn_class_accuracy"] == \
+        [[pytest.approx(0.8)]]
+    upm = h["mps_unification_performance_map"]
+    assert upm["reshaped_tensor_dimensions"] == [[4, 4]]
+    assert upm["upm_nn_class_accuracy"][0] == [pytest.approx(0.7),
+                                               pytest.approx(0.6)]
+    dpm = h["mps_decomposition_performance_map"]
+    assert dpm["nn_reduction_ratio"] == [pytest.approx(0.4)]
+
+
+def _small_bitstream():
+    rng = np.random.default_rng(21)
+    d = {"a.weight": rng.normal(0, 0.05, (16, 8)).astype(np.float32),
+         "a.bias": rng.normal(0, 0.01, (16,)).astype(np.float32)}
+    bs = compression.compress(d, bitstream_path=None, qp=-24,
+                              return_bitstream=True, verbose=False)
+    return d, bytearray(bs)
+
+
+def test_injected_lps_unit_is_parsed_and_stream_decodes():
+    d, bs = _small_bitstream()
+    lps = syntax.encode_unit(_make_lps_unit())
+    # insert the LPS after the first unit (NNR_STR)
+    first_size = int.from_bytes(bs[0:4], "big") + 4
+    patched = bs[:first_size] + lps + bs[first_size:]
+    rec, info = compression.decompress(bytes(patched), verbose=False,
+                                       return_model_information=True)
+    assert set(rec) == set(d)
+    assert info["performance_map_flags"]["lps_sparsification_flag"] == 1
+    m = info["performance_maps"]["lps"]["sparsification_performance_map"]
+    np.testing.assert_allclose(m["sparsification_threshold"], [0.1, 0.2],
+                               rtol=1e-6)
+
+
+def test_unknown_unit_type_skipped_by_size():
+    d, bs = _small_bitstream()
+    # forge a unit with reserved/unknown type 100 and 3 payload bytes
+    unknown = (7).to_bytes(4, "big") + bytes([100]) + b"\x80\xAA\xBB\xCC\xDD\xEE"
+    first_size = int.from_bytes(bs[0:4], "big") + 4
+    patched = bs[:first_size] + unknown + bs[first_size:]
+    rec = compression.decompress(bytes(patched), verbose=False)
+    assert set(rec) == set(d)
+
+
+@pytest.mark.parametrize("cut", [1, 3, 7, 40])
+def test_truncated_bitstream_raises(cut):
+    _d, bs = _small_bitstream()
+    with pytest.raises((ValueError, AssertionError)):
+        compression.decompress(bytes(bs[:len(bs) - cut]), verbose=False)

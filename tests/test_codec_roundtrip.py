@@ -274,3 +274,38 @@ def test_parallel_ndu_decode_matches_serial():
         assert np.array_equal(ad1["parameters"][name],
                               ad2["parameters"][name]), name
         assert int(ad1["qp"].get(name, 0)) == int(ad2["qp"].get(name, 0))
+
+
+def test_oob_ndu_headers_roundtrip():
+    """Out-of-band NDU parameters: dims/unary-length omitted from the
+    bitstream; decode requires (and uses) external model information.
+    (reference: compile_ndu_oob, syntax_compiler.py:44-63)"""
+    rng = np.random.default_rng(30)
+    d = make_mlp_dict(rng, layers=2, width=24, in_dim=16)
+    nnc_mdl = nnr_model.NNRModel(d)
+    params = nnc_mdl.init_model_from_dict(d)
+    model_info = nnc_mdl.model_info
+    model_info["topology_storage_format"] = hls.TopologyStorageFormat.NNR_TPL_PYT
+
+    approx_data = approximator.init_approx_data(params, model_info, 2, 0)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 0, -24, False, False, 10, 0.0)
+    ad_enc = approximator.approx(ap_info.approx_info, model_info, approx_data,
+                                 verbose=False)
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    bs_inband = coder.encode(enc_info, model_info, ad_enc)
+    oob = coder.compile_ndu_oob(tensor_dims=True,
+                                cabac_unary_length_minus1=10)
+    bs_oob = coder.encode(enc_info, model_info, ad_enc, ndu_oob=oob)
+    assert len(bs_oob) < len(bs_inband)
+
+    # decode without external info must fail loudly
+    with pytest.raises(ValueError, match="out-of-band"):
+        coder.decode(bs_oob)
+
+    ext = {"parameter_dimensions": dict(model_info["parameter_dimensions"]),
+           "cabac_unary_length_minus1": 10}
+    dec_info, ad_dec = coder.decode(bs_oob, model_info=ext)
+    for name in d:
+        assert np.array_equal(ad_dec["parameters"][name],
+                              ad_enc["parameters"][name]), name

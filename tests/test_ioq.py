@@ -30,3 +30,53 @@ def test_ioq_runs_and_keeps_accuracy(tmp_path):
     rec = nnc_tpu.decompress(bs, verbose=False)
     top1 = ex.eval_model(rec)[0]
     assert top1 >= base_top1 - 0.05  # IOQ must not tank accuracy
+
+
+def test_ioq_rate_aware_refinement():
+    """RD-style IOQ can spend bytes to REFINE a sensitive tensor's QP (a
+    pure accuracy-threshold probe can only coarsen) and coarsen an
+    insensitive one when the byte savings outweigh the accuracy cost."""
+    from nnc_tpu.core import approximator, model as nnr_model
+    from nnc_tpu import hls
+
+    rng = np.random.default_rng(1)
+    d = {
+        "sens.weight": rng.normal(0, 0.5, (32, 16)).astype(np.float32),
+        "dead.weight": rng.normal(0, 0.5, (32, 16)).astype(np.float32),
+    }
+
+    class Ex:
+        """Accuracy = negative reconstruction error of the sensitive tensor
+        only; the dead tensor never matters."""
+        def eval_model(self, params, verbose=False):
+            err = float(np.abs(params["sens.weight"] - d["sens.weight"]).max())
+            return (-err,)
+
+        def has_eval(self):
+            return True
+
+    mdl = nnr_model.NNRModel(d)
+    params = mdl.init_model_from_dict(d)
+    model_info = mdl.model_info
+    model_info["topology_storage_format"] = hls.TopologyStorageFormat.NNR_TPL_PYT
+    approx_data = approximator.init_approx_data(params, model_info, 2, 0)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 0, -20, False, False, 10, 0.0)
+    qp0 = {p: int(q) for p, q in ap_info.approx_info["qp"].items()}
+
+    approximator.inference_based_qp_opt(
+        ap_info.approx_info, model_info, Ex(), approx_data, 0, 10,
+        verbose=False)
+    qp1 = {p: int(q) for p, q in ap_info.approx_info["qp"].items()}
+
+    # the size-sorted loop keeps the largest tensor at the global QP; both
+    # are equal-size here so exactly one is refined — it must be a
+    # rate-aware move: sens refined (finer, more bytes, better accuracy) or
+    # dead coarsened (fewer bytes, zero accuracy cost)
+    changed = {p for p in qp1 if qp1[p] != qp0[p]}
+    assert changed, "IOQ made no rate-aware move"
+    for p in changed:
+        if p == "sens.weight":
+            assert qp1[p] < qp0[p]  # refined: spends rate for accuracy
+        else:
+            assert qp1[p] > qp0[p]  # coarsened: saves rate at no cost
