@@ -155,11 +155,36 @@ class NeRFModelExecuter(ModelExecute):
                                          savedir=testdir)
             moviedir = os.path.join(basedir_save, "movies")
             os.makedirs(moviedir, exist_ok=True)
+            # spiral render-path video from render_poses (reference:
+            # run_nerf.py:781-794 writes the render_poses mp4 at i_save)
+            spiral_frames = None
+            rposes = scene.get("render_poses")
+            if rposes is not None and len(rposes):
+                spiral = []
+                for pose in np.asarray(rposes):
+                    ro, rd = get_rays_np(scene["H"], scene["W"], scene["K"],
+                                         pose[:3, :4])
+                    vd = None
+                    if scene.get("ndc", False):
+                        vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+                        ro_j, rd_j = ndc_rays(
+                            scene["H"], scene["W"], float(scene["K"][0][0]),
+                            1.0, jnp.asarray(ro), jnp.asarray(rd))
+                        ro, rd = np.asarray(ro_j), np.asarray(rd_j)
+                    out = renderer.render_image(
+                        params_c, params_f, cur_ls_c, cur_ls_f, ro, rd,
+                        scene["near"], scene["far"], self.rc, viewdirs=vd)
+                    spiral.append(out["rgb_map"])
+                spiral_frames = np.stack(spiral)
             try:
                 import imageio.v2 as imageio
                 imageio.mimwrite(
                     os.path.join(moviedir, f"step{step}_rgb.mp4"),
                     to8b(rgbs), fps=30, quality=8)
+                if spiral_frames is not None:
+                    imageio.mimwrite(
+                        os.path.join(moviedir, f"step{step}_spiral_rgb.mp4"),
+                        to8b(spiral_frames), fps=30, quality=8)
             except Exception as e:  # ffmpeg may be absent
                 print(f"INFO: mp4 writing skipped ({e})")
 

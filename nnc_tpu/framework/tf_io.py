@@ -150,3 +150,73 @@ def create_NNC_model_instance_from_object(model):
     mdl = TensorFlowModel()
     params = mdl.init_model_from_model_object(model)
     return mdl, params
+
+
+class KerasModelExecuter:
+    """eval/test for Keras models (h5 path or model object).
+
+    Counterpart of the reference's ImageNetTensorFlowModelExecuter
+    (reference: framework/tensorflow_model/__init__.py:463-578): TF models
+    can be evaluated and tested but not LSA-tuned (has_tune_* return False,
+    matching :574-578; lsa is force-disabled for TF models at the codec
+    level like the reference's nnc/compression.py:136-138)."""
+
+    def __init__(self, model_or_path, val_loader_fn, test_loader_fn=None, *,
+                 max_batches=600, verbose=True):
+        import tensorflow as tf  # noqa: F401 (availability check)
+        if isinstance(model_or_path, str):
+            from tensorflow import keras
+            self.model = keras.models.load_model(model_or_path)
+        else:
+            self.model = model_or_path
+        self.val_loader_fn = val_loader_fn
+        self.test_loader_fn = test_loader_fn or val_loader_fn
+        self.max_batches = max_batches
+        self.verbose = verbose
+
+    def _load(self, parameters):
+        for w in self.model.weights:
+            name = w.name
+            if name in parameters:
+                w.assign(np.asarray(parameters[name],
+                                    np.float32).reshape(w.shape))
+
+    def _evaluate(self, loader):
+        import tensorflow as tf
+        top1 = top5 = loss_sum = n = 0
+        ce = tf.keras.losses.SparseCategoricalCrossentropy(
+            from_logits=True, reduction="sum")
+        for i, (x, y) in enumerate(loader):
+            if i >= self.max_batches:
+                break
+            logits = self.model(np.asarray(x, np.float32), training=False)
+            logits = np.asarray(logits)
+            y = np.asarray(y)
+            k5 = min(5, logits.shape[-1])
+            topk = np.argsort(logits, axis=-1)[:, -k5:]
+            top1 += int((topk[:, -1] == y).sum())
+            top5 += int((topk == y[:, None]).any(1).sum())
+            loss_sum += float(ce(y, logits))
+            n += len(y)
+        n = max(1, n)
+        return top1 / n, top5 / n, loss_sum / n
+
+    def eval_model(self, parameters, verbose=False):
+        self._load(parameters)
+        return self._evaluate(self.val_loader_fn())
+
+    def test_model(self, parameters, verbose=False):
+        self._load(parameters)
+        return self._evaluate(self.test_loader_fn())
+
+    def has_eval(self):
+        return True
+
+    def has_test(self):
+        return True
+
+    def has_tune_ft(self):
+        return False
+
+    def has_tune_lsa(self):
+        return False

@@ -96,6 +96,69 @@ def _pack_weights(params, ls, dtype):
     return packed, biases
 
 
+def _pack_weights_int8(params, ls):
+    """int8 per-output-channel weight quantization for the MXU int8 path.
+    Returns (packed int8 weights, per-column scale rows s_o = max|w[:,o]|/127,
+    f32 biases). Measured on v5e: the int8 kernel is ~20% SLOWER than bf16
+    (6.3 vs 5.2 ms / 262K pts) because this MLP is not MXU-bound — the
+    dynamic activation quantization adds VPU work where the VPU already
+    limits. Kept as the codec-integrated low-precision test-render path."""
+    packed, biases = _pack_weights(params, ls, jnp.float32)
+    wq, scales = {}, {}
+    for k, w in packed.items():
+        s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0   # (1, O)
+        q = jnp.where(s > 0, jnp.round(w / jnp.where(s > 0, s, 1.0)), 0.0)
+        wq[k] = jnp.clip(q, -127, 127).astype(jnp.int8)
+        scales[k] = s.astype(jnp.float32)
+    return wq, scales, biases
+
+
+def _qdense(x, wq_ref, s_ref):
+    """Quantized matmul: dynamic symmetric int8 activation quantization per
+    block, int8 x int8 -> int32 on the MXU, dequantized f32 output (no
+    bias; callers add it after combining split matmuls)."""
+    m = jnp.max(jnp.abs(x)) + 1e-12
+    xq = jnp.clip(jnp.round(x * (127.0 / m)), -127, 127).astype(jnp.int8)
+    u = jax.lax.dot_general(xq, wq_ref[:], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return u.astype(jnp.float32) * (s_ref[:] * (m / 127.0))
+
+
+def _mlp_body_int8(emb, w_refs, s_refs, b_refs):
+    """int8 variant of :func:`_mlp_body` (same packed layout)."""
+    (w0, w1, w2, w3, w4, w5a, w5b, w6, w7, wf, wa, wva, wvb, wr) = w_refs
+    (s0, s1, s2, s3, s4, s5a, s5b, s6, s7, sf, sa, sva, svb, sr) = s_refs
+    (b0, b1, b2, b3, b4, b5, b6, b7, bf, ba, bv, br) = b_refs
+
+    emb = emb.astype(jnp.float32)
+    h = jax.nn.relu(_qdense(emb, w0, s0) + b0[:])
+    for w_ref, s_ref, b_ref in ((w1, s1, b1), (w2, s2, b2), (w3, s3, b3),
+                                (w4, s4, b4)):
+        h = jax.nn.relu(_qdense(h, w_ref, s_ref) + b_ref[:])
+    h = jax.nn.relu(_qdense(emb, w5a, s5a) + _qdense(h, w5b, s5b) + b5[:])
+    for w_ref, s_ref, b_ref in ((w6, s6, b6), (w7, s7, b7)):
+        h = jax.nn.relu(_qdense(h, w_ref, s_ref) + b_ref[:])
+
+    alpha = _qdense(h, wa, sa) + ba[:]
+    feature = _qdense(h, wf, sf) + bf[:]
+    v = jax.nn.relu(_qdense(feature, wva, sva) + _qdense(emb, wvb, svb)
+                    + bv[:])
+    rgb = _qdense(v, wr, sr) + br[:]
+    return rgb + alpha
+
+
+def _mlp_body_pts_int8(ptsdir, w_refs, s_refs, b_refs):
+    pts = ptsdir[:, 0:3]
+    vd = ptsdir[:, 3:6]
+    h = pts.shape[0]
+    pe = _inkernel_posenc(pts, 10, jnp.float32)
+    ve = _inkernel_posenc(vd, 4, jnp.float32)
+    emb = jnp.concatenate(
+        [pe, jnp.zeros((h, 1), jnp.float32), ve,
+         jnp.zeros((h, _PACK_W - 91), jnp.float32)], axis=-1)
+    return _mlp_body_int8(emb, w_refs, s_refs, b_refs)
+
+
 def _mlp_body(emb, refs):
     """One dependent chain of the MLP on an activation block."""
     (w0, w1, w2, w3, w4, w5a, w5b, w6, w7, wf, wa, wva, wvb, wr,
@@ -242,6 +305,80 @@ def _fused_call_pts(packed, biases, ptsdir, interpret=False):
             flops=2 * n * 600_000, bytes_accessed=n * 544,
             transcendentals=n * 84),
     )(ptsdir, *[packed[k] for k in w_order], *[biases[k] for k in b_order])
+
+
+def _kernel_pts_int8(in_ref, *refs):
+    out_ref = refs[-1]
+    w_refs = refs[:14]
+    s_refs = refs[14:28]
+    b_refs = refs[28:40]
+    half = in_ref.shape[0] // 2
+    out_ref[:half] = _mlp_body_pts_int8(in_ref[:half], w_refs, s_refs,
+                                        b_refs)
+    out_ref[half:] = _mlp_body_pts_int8(in_ref[half:], w_refs, s_refs,
+                                        b_refs)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_call_pts_int8(wq, scales, biases, ptsdir, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = ptsdir.shape[0]
+    w_order = ["w0", "w1", "w2", "w3", "w4", "w5a", "w5b", "w6", "w7",
+               "wf", "wa", "wva", "wvb", "wr"]
+    b_order = ["b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "bf", "ba",
+               "bv", "br"]
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec((TILE, 8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += [full(wq[k]) for k in w_order]
+    in_specs += [full(scales[k]) for k in w_order]
+    in_specs += [full(biases[k]) for k in b_order]
+    return pl.pallas_call(
+        _kernel_pts_int8,
+        grid=(n // TILE,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * 600_000, bytes_accessed=n * 544,
+            transcendentals=n * 84),
+    )(ptsdir, *[wq[k] for k in w_order], *[scales[k] for k in w_order],
+      *[biases[k] for k in b_order])
+
+
+def fused_nerf_mlp_int8_from_points(params, ls, pts, viewdirs,
+                                    config: nerf.NeRFConfig):
+    """int8-MXU variant of :func:`fused_nerf_mlp_from_points` (per-channel
+    int8 weights + dynamic per-block int8 activations, int32 accumulate).
+    See the perf note on :func:`_pack_weights_int8`."""
+    if not supports(config):
+        from ..ops.posenc import positional_encoding
+        pe = positional_encoding(pts, 10)
+        ve = positional_encoding(jnp.broadcast_to(viewdirs, pts.shape), 4)
+        return nerf.apply_mlp(params, pe, ve, config, ls=ls)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    lead = pts.shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    vd = jnp.broadcast_to(viewdirs, pts.shape)
+    ptsdir = jnp.concatenate(
+        [pts.reshape(n, 3), vd.reshape(n, 3),
+         jnp.zeros((n, 2), pts.dtype)], axis=-1).astype(jnp.float32)
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    if n_pad != n:
+        ptsdir = jnp.pad(ptsdir, ((0, n_pad - n), (0, 0)))
+
+    wq, scales, biases = _pack_weights_int8(params, ls)
+    out = _fused_call_pts_int8(wq, scales, biases, ptsdir,
+                               interpret=interpret)
+    return out[:n, :4].reshape(*lead, 4)
 
 
 def fused_nerf_mlp_from_points(params, ls, pts, viewdirs,

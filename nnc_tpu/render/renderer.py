@@ -34,6 +34,9 @@ class RenderConfig:
     lindisp: bool = False
     chunk: int = 1024 * 32
     use_fused_mlp: bool = False  # Pallas fused inference kernel (TPU)
+    # int8-MXU MLP for deterministic (test) renders: per-channel int8
+    # weights + dynamic int8 activations; ~2x MXU rate, bounded error
+    use_int8_mlp: bool = False
     # fuse alpha compositing into the kernel (grid over sample blocks with
     # running-transmittance scratch; see ops/render_pallas.py). Enables the
     # compute-skipping thresholds below. Deterministic renders only.
@@ -68,6 +71,10 @@ def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig,
     if allow_fused and rc.use_fused_mlp and rc.multires == 10 and \
             rc.multires_views == 4:
         # fully fused path: posenc happens inside the Pallas kernel
+        if rc.use_int8_mlp:
+            from ..ops.mlp_pallas import fused_nerf_mlp_int8_from_points
+            return fused_nerf_mlp_int8_from_points(
+                params, ls, pts, viewdirs[..., None, :], rc.mlp)
         from ..ops.mlp_pallas import fused_nerf_mlp_from_points
         return fused_nerf_mlp_from_points(params, ls, pts,
                                           viewdirs[..., None, :], rc.mlp)

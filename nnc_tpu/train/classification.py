@@ -102,7 +102,7 @@ class ClassificationExecuter(ModelExecute):
 
     def __init__(self, model_builder, train_loader_fn, val_loader_fn=None,
                  test_loader_fn=None, *, learning_rate=1e-4, epochs=2,
-                 max_batches=600, verbose=True):
+                 max_batches=600, patience=2, verbose=True):
         self.model_builder = model_builder
         self.train_loader_fn = train_loader_fn
         self.val_loader_fn = val_loader_fn or train_loader_fn
@@ -110,6 +110,7 @@ class ClassificationExecuter(ModelExecute):
         self.learning_rate = learning_rate
         self.epochs = epochs
         self.max_batches = max_batches
+        self.patience = patience
         self.verbose = verbose
 
     def tune_model(self, bitstream_path=None, parameters=None,
@@ -117,6 +118,7 @@ class ClassificationExecuter(ModelExecute):
                    verbose=False):
         apply_fn, params, ls, extract = self.model_builder(parameters)
         best = None
+        worse_epochs = 0
         for epoch in range(self.epochs):
             params, ls, loss, acc = train_classification_model(
                 apply_fn, params, ls, self.train_loader_fn(),
@@ -131,6 +133,16 @@ class ClassificationExecuter(ModelExecute):
                       f"val loss {vloss:.4f}")
             if best is None or vloss < best[0]:  # best-loss checkpointing
                 best = (vloss, copy.deepcopy(extract(params, ls)))
+                worse_epochs = 0
+            else:
+                # patience-based early stopping (reference
+                # pytorch_model/__init__.py:856-866)
+                worse_epochs += 1
+                if worse_epochs >= self.patience:
+                    if self.verbose:
+                        print(f"early stopping after epoch {epoch} "
+                              f"(patience {self.patience})")
+                    break
         tuned = best[1]
         lsa_params = {k: v for k, v in tuned.items()
                       if k.endswith("weight_scaling")} if lsa_flag else {}

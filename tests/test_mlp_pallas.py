@@ -173,3 +173,24 @@ def test_renderer_culled_fused_path_matches_exact():
     assert d.max() < 5e-3, d.max()
     d0 = np.abs(np.asarray(fused["rgb0"]) - np.asarray(exact["rgb0"]))
     assert d0.max() < 5e-3, d0.max()
+
+
+def test_int8_mlp_bounded_error():
+    """int8 MXU path: raw outputs stay within a bounded error of the f32
+    MLP on realistic inputs, and sigma/rgb error translates to a small
+    composited-color deviation."""
+    from nnc_tpu.ops.mlp_pallas import fused_nerf_mlp_int8_from_points
+
+    mlp, params, ro, rd, vd, z = _render_fixture(32, 32)
+    pts = (ro[:, None, :] + rd[:, None, :] * z[..., None]).reshape(-1, 3)
+    vds = jnp.broadcast_to(vd[:, None, :], (32, 32, 3)).reshape(-1, 3)
+
+    from nnc_tpu.ops.posenc import positional_encoding
+    ref = np.asarray(nerf.apply_mlp(params, positional_encoding(pts, 10),
+                                    positional_encoding(vds, 4), mlp))
+    got = np.asarray(fused_nerf_mlp_int8_from_points(params, None, pts, vds,
+                                                     mlp))
+    # rgb logits land in sigmoid; sigma through relu*dist: bound abs error
+    scale = np.abs(ref).max()
+    err = np.abs(got - ref)
+    assert err.max() < 0.05 * scale + 0.05, (err.max(), scale)
