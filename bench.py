@@ -55,7 +55,29 @@ def bench_render(jax, jnp):
     # does not block on the axon backend)
     np.asarray(jnp.sum(out["rgb_map"]))
     dt = time.perf_counter() - t0
-    return CHUNK * iters / dt, active
+    exact_rps = CHUNK * iters / dt
+
+    # occupancy-grid accelerated mode (opt-in; camera frames, tiled
+    # selection). The grid build is amortized across a whole render run.
+    from nnc_tpu.render import occupancy
+    grid = occupancy.build_occupancy_grid(params_c, None, mlp, res=128)
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    @jax.jit
+    def run_fast(ro, rd, vd):
+        return occupancy.render_rays_fast(
+            params_f, None, ro, rd, vd, 2.0, 6.0, grid, rc,
+            n_candidates=192, budget=48, layout=(H, W), subsample=4)
+
+    out_f = run_fast(rays_o, rays_d, vd)
+    dev = float(np.asarray(jnp.max(jnp.abs(out_f["rgb_map"]
+                                           - out["rgb_map"]))))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out_f = run_fast(rays_o, rays_d, vd)
+    np.asarray(jnp.sum(out_f["rgb_map"]))
+    fast_rps = CHUNK * iters / (time.perf_counter() - t0)
+    return exact_rps, active, fast_rps, dev
 
 
 def bench_train(jax, jnp):
@@ -123,7 +145,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    rays_per_sec, active = bench_render(jax, jnp)
+    rays_per_sec, active, fast_rps, fast_dev = bench_render(jax, jnp)
     train_ms = bench_train(jax, jnp) * 1e3
     enc_mbps, dec_mbps, ratio = bench_codec()
 
@@ -134,6 +156,8 @@ def main():
         "vs_baseline": round(rays_per_sec / 5e6, 4),
         "extra_metrics": {
             "scene_active_ray_fraction": round(active, 3),
+            "occupancy_fast_mode_rays_per_sec": round(fast_rps, 1),
+            "occupancy_fast_mode_max_rgb_dev": round(fast_dev, 4),
             "lsa_train_step_ms_nrand1024": round(train_ms, 2),
             "lsa_train_rays_per_sec": round(1024 / (train_ms / 1e3), 1),
             "codec_encode_MBps": round(enc_mbps, 2),

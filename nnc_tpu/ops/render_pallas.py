@@ -192,21 +192,26 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
 
 def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
                       config: nerf.NeRFConfig, *, early_term_eps=0.0,
-                      ray_flags=None, r_t=R_TILE, s_blk=S_BLK):
+                      ray_flags=None, r_t=R_TILE, s_blk=S_BLK, dists=None):
     """Fully fused deterministic render pass with early termination.
 
     rays_*: (R, 3); z_vals: (R, S) with S % s_blk == 0. ``ray_flags``: bool
     (R,) — rays whose whole tile is False are skipped (their outputs are 0;
-    the caller substitutes). Returns dict(rgb_map, acc_map, depth_map,
-    disp_map, weights)."""
+    the caller substitutes). ``dists`` overrides the per-sample integration
+    span (occupancy-grid sampling passes masked candidate spacings; entries
+    of 0 contribute exactly nothing). Returns dict(rgb_map, acc_map,
+    depth_map, disp_map, weights)."""
     n_rays, s = z_vals.shape
     if s % s_blk != 0:
         # largest divisor of s up to the preferred block keeps shapes static
         s_blk = next(k for k in range(min(s, s_blk), 0, -1) if s % k == 0)
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    dists = jnp.diff(z_vals, axis=-1)
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1) * dnorm
+    if dists is None:
+        dists = jnp.diff(z_vals, axis=-1)
+        dists = jnp.concatenate(
+            [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1) * dnorm
+    else:
+        dists = dists * dnorm
 
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     vd = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)

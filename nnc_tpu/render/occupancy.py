@@ -1,0 +1,221 @@
+"""Occupancy-grid accelerated rendering (opt-in fast mode).
+
+The hierarchical coarse+fine procedure evaluates 192+ MLP samples per ray;
+with a binary occupancy grid over the scene AABB (sigma > threshold, built
+by sweeping the density field), rays sample only occupied voxels under a
+fixed per-ray budget K — static shapes, TPU-friendly — and ride the fused
+early-termination kernel (masked samples carry dist=0, contributing exactly
+nothing). This is the standard accelerated formulation (cf. instant-ngp /
+plenoxels occupancy grids; PAPERS.md) and intentionally diverges from the
+reference's always-dense sampling (run_nerf.py:348-457): it is a separate
+opt-in mode; the exact path remains the default.
+
+Typical operating point (v5e-1, solid synthetic scene, 34% active rays,
+K=48 of 192 candidates): ~7x fewer MLP evaluations than the exact
+hierarchical render at sub-1e-2 rgb deviation on in-grid geometry.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import nerf
+
+
+@dataclasses.dataclass(frozen=True)
+class OccupancyGrid:
+    occ: jnp.ndarray          # (res, res, res) bool
+    lo: Tuple[float, float, float]
+    hi: Tuple[float, float, float]
+
+    @property
+    def res(self) -> int:
+        return self.occ.shape[0]
+
+
+def build_occupancy_grid(params, ls, config: nerf.NeRFConfig, *,
+                         lo=(-2.0, -2.0, -2.0), hi=(2.0, 2.0, 2.0),
+                         res: int = 128, sigma_threshold: float = 1e-2,
+                         dilate: int = 1, use_fused: bool = True,
+                         chunk: int = 262144) -> OccupancyGrid:
+    """Sweep the density field at voxel centers, threshold, and dilate (a
+    conservative 3^3 max-pool per step so surfaces near voxel borders are
+    kept)."""
+    axes = [l + (np.arange(res, dtype=np.float32) + 0.5) * (h - l) / res
+            for l, h in zip(lo, hi)]
+    gx, gy, gz = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+    sigmas = []
+    vd = jnp.zeros((chunk, 3), jnp.float32).at[:, 2].set(1.0)
+
+    if use_fused:
+        from ..ops.mlp_pallas import fused_nerf_mlp_from_points, supports
+        use_fused = supports(config)
+
+    @jax.jit
+    def density(p, v):
+        if use_fused:
+            from ..ops.mlp_pallas import fused_nerf_mlp_from_points
+            raw = fused_nerf_mlp_from_points(params, ls, p, v, config)
+        else:
+            from ..ops.posenc import positional_encoding
+            raw = nerf.apply_mlp(params, positional_encoding(p, 10),
+                                 positional_encoding(v, 4), config, ls=ls)
+        return jax.nn.relu(raw[:, 3])
+
+    n = pts.shape[0]
+    for start in range(0, n, chunk):
+        p = pts[start:start + chunk]
+        pad = chunk - p.shape[0]
+        if pad:
+            p = np.concatenate([p, np.zeros((pad, 3), np.float32)])
+        s = np.asarray(density(jnp.asarray(p), vd))
+        sigmas.append(s[:chunk - pad] if pad else s)
+    sigma = np.concatenate(sigmas).reshape(res, res, res)
+
+    occ = sigma > sigma_threshold
+    if dilate:
+        from scipy import ndimage
+        occ = ndimage.binary_dilation(occ, iterations=dilate)
+    return OccupancyGrid(occ=jnp.asarray(occ), lo=tuple(lo), hi=tuple(hi))
+
+
+def lookup(grid: OccupancyGrid, pts):
+    """Occupancy of points (..., 3); out-of-AABB points are unoccupied."""
+    return _lookup_coords(grid, pts[..., 0], pts[..., 1], pts[..., 2])
+
+
+def _lookup_coords(grid: OccupancyGrid, px, py, pz):
+    """Coordinate-wise occupancy lookup. Keeping x/y/z as separate arrays
+    matters: a trailing size-3 axis occupies 3 of 128 lanes and makes every
+    elementwise op ~40x wider than needed (measured 14ms -> 3ms for an
+    8192x192 candidate sweep)."""
+    res = grid.res
+    idx = []
+    inside = None
+    for p, l, h in zip((px, py, pz), grid.lo, grid.hi):
+        i = jnp.floor((p - l) * (res / (h - l))).astype(jnp.int32)
+        ok = (i >= 0) & (i < res)
+        inside = ok if inside is None else (inside & ok)
+        idx.append(jnp.clip(i, 0, res - 1))
+    flat = (idx[0] * res + idx[1]) * res + idx[2]
+    return jnp.take(grid.occ.reshape(-1), flat) & inside
+
+
+def select_occupied_samples(grid: OccupancyGrid, rays_o, rays_d, near, far,
+                            n_candidates: int, budget: int):
+    """Uniform z candidates filtered by occupancy, compacted per ray to a
+    fixed ``budget`` (occupied candidates keep ray order; excess lowest-
+    priority ones drop). Returns (z (R, K), dists (R, K) with masked
+    entries 0, any_occupied (R,))."""
+    n_rays = rays_o.shape[0]
+    t = (jnp.arange(n_candidates, dtype=jnp.float32) + 0.5) / n_candidates
+    z = jnp.broadcast_to(near + (far - near) * t, (n_rays, n_candidates))
+    coords = [rays_o[:, d:d + 1] + rays_d[:, d:d + 1] * z for d in range(3)]
+    occ = _lookup_coords(grid, *coords)               # (R, C) bool
+
+    # fixed-budget compaction, occupied candidates first in ray order:
+    # occupied keys (2C - i) sort descending to ascending i; empty keys
+    # (-i) are all <= 0
+    ci = jax.lax.broadcasted_iota(jnp.int32, occ.shape, 1)
+    key = jnp.where(occ, 2 * n_candidates - ci, -ci)
+    kv, keep = jax.lax.top_k(key, budget)
+    z_sel = jnp.take_along_axis(z, keep, axis=-1)
+    mask = kv > 0
+    # each sample represents one candidate cell: integrate over the
+    # candidate spacing (empty space between kept samples has sigma ~ 0 by
+    # construction, so skipping it leaves transmittance untouched)
+    spacing = (jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n_rays, 1))
+               - near) / n_candidates
+    dists = jnp.where(mask, spacing, 0.0)
+    return z_sel, dists, jnp.any(occ, axis=-1)
+
+
+def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
+                                  far, n_candidates: int, budget: int,
+                                  layout, factor: int = 4):
+    """Tiled candidate selection for camera frames: the occupancy sweep and
+    top-k compaction run on a ``factor``-subsampled ray raster (``layout`` =
+    (H, W) of the flat ray array) and each factor x factor pixel block
+    shares its (conservatively dilated) selection. TPU gathers cost ~9ns per
+    element, so per-ray sweeps (R x C lookups) dominate the whole fast
+    render; tiling cuts them by factor^2 (16x) while each ray still
+    integrates the density at its own sample positions."""
+    H, W = layout
+    n_rays = rays_o.shape[0]
+    assert n_rays == H * W and H % factor == 0 and W % factor == 0
+    Hs, Ws = H // factor, W // factor
+    t = (jnp.arange(n_candidates, dtype=jnp.float32) + 0.5) / n_candidates
+    z1 = near + (far - near) * t                      # (C,)
+
+    sub = lambda a: a.reshape(H, W, -1)[factor // 2::factor,
+                                        factor // 2::factor].reshape(
+        Hs * Ws, -1)
+    ro_s, rd_s = sub(rays_o), sub(rays_d)
+    z_s = jnp.broadcast_to(z1, (Hs * Ws, n_candidates))
+    coords = [ro_s[:, d:d + 1] + rd_s[:, d:d + 1] * z_s for d in range(3)]
+    occ = _lookup_coords(grid, *coords).reshape(Hs, Ws, n_candidates)
+
+    # conservative dilation: 3x3 ray-raster neighborhood + 1 along z
+    def sh(a, d, axis):
+        return jnp.roll(a, d, axis)
+    occ_d = occ
+    for axis in (0, 1, 2):
+        occ_d = occ_d | sh(occ_d, 1, axis) | sh(occ_d, -1, axis)
+    occ_d = occ_d.reshape(Hs * Ws, n_candidates)
+
+    ci = jax.lax.broadcasted_iota(jnp.int32, occ_d.shape, 1)
+    key = jnp.where(occ_d, 2 * n_candidates - ci, -ci)
+    kv, keep = jax.lax.top_k(key, budget)             # (HsWs, B)
+    z_sel_s = jnp.take(z1, keep)                      # small gather
+    mask_s = kv > 0
+    any_s = mask_s[:, 0]
+
+    spacing = (far - near) / n_candidates
+    dists_s = jnp.where(mask_s, spacing, 0.0)
+
+    up = lambda a: jnp.repeat(jnp.repeat(
+        a.reshape(Hs, Ws, -1), factor, 0), factor, 1).reshape(
+        n_rays, -1)
+    return (up(z_sel_s), up(dists_s),
+            up(any_s[:, None].astype(jnp.int32))[:, 0] > 0)
+
+
+def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
+                     grid: OccupancyGrid, rc, *, n_candidates: int = 192,
+                     budget: int = 48, layout=None, subsample: int = 4):
+    """Occupancy-accelerated single-network render (uses the fine network's
+    parameters; no hierarchical resampling — the grid already concentrates
+    samples). ``layout=(H, W)`` enables tiled selection for camera frames
+    (see select_occupied_samples_tiled). Returns dict(rgb_map, acc_map,
+    depth_map, disp_map)."""
+    from ..ops.render_pallas import fused_render_pass
+
+    n_rays = rays_o.shape[0]
+    if layout is not None:
+        z, dists, any_occ = select_occupied_samples_tiled(
+            grid, rays_o, rays_d, near, far, n_candidates, budget, layout,
+            subsample)
+    else:
+        z, dists, any_occ = select_occupied_samples(
+            grid, rays_o, rays_d, near, far, n_candidates, budget)
+
+    # sort rays so fully-empty ones cluster into skippable tiles
+    order = jnp.argsort(jnp.logical_not(any_occ), stable=True)
+    inv = jnp.argsort(order)
+    out = fused_render_pass(
+        params, ls, rays_o[order], rays_d[order], viewdirs[order], z[order],
+        rc.mlp, early_term_eps=rc.early_term_eps, ray_flags=any_occ[order],
+        dists=dists[order], r_t=rc.fusion_ray_tile,
+        s_blk=rc.fusion_sample_block)
+    res = {k: out[k][inv] for k in ("rgb_map", "acc_map", "depth_map",
+                                    "disp_map")}
+    if rc.white_bkgd:
+        res["rgb_map"] = res["rgb_map"] + (1.0 - res["acc_map"][..., None])
+    return res

@@ -1,0 +1,87 @@
+"""Occupancy-grid accelerated rendering: grid build, lookup, fast-mode
+parity against the exact renderer on in-grid geometry."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nnc_tpu.data.synthetic import look_at_poses, make_solid_mlp
+from nnc_tpu.models import nerf
+from nnc_tpu.render import occupancy, renderer
+from nnc_tpu.render.rays import get_rays_np
+
+
+def _setup():
+    mlp = nerf.NeRFConfig()
+    params = make_solid_mlp(mlp, radius=1.0, density=80.0)
+    H, W = 16, 16
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    pose = look_at_poses(1, seed=0)[0]
+    ro, rd = get_rays_np(H, W, K, pose[:3, :4])
+    ro = jnp.asarray(ro.reshape(-1, 3))
+    rd = jnp.asarray(rd.reshape(-1, 3))
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    return mlp, params, ro, rd, vd
+
+
+def test_grid_build_and_lookup():
+    mlp, params, *_ = _setup()
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    # octahedron |x|_1 < 1: center occupied, corners of the AABB empty
+    assert bool(occupancy.lookup(grid, jnp.zeros((1, 3)))[0])
+    assert not bool(occupancy.lookup(grid, jnp.full((1, 3), 1.9))[0])
+    assert not bool(occupancy.lookup(grid, jnp.full((1, 3), 5.0))[0])
+    frac = float(jnp.mean(grid.occ))
+    assert 0.0 < frac < 0.5  # the object occupies a minority of the AABB
+
+
+def test_fast_render_matches_exact_on_solid_scene():
+    mlp, params, ro, rd, vd = _setup()
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False, early_term_eps=0.0)
+    key = jax.random.PRNGKey(0)
+    exact = renderer.render_rays(params, None, None, None, ro, rd, vd,
+                                 2.0, 6.0, key, rc, deterministic=True)
+    fast = occupancy.render_rays_fast(params, None, ro, rd, vd, 2.0, 6.0,
+                                      grid, rc, n_candidates=64, budget=32)
+    d = np.abs(np.asarray(fast["rgb_map"]) - np.asarray(exact["rgb_map"]))
+    assert d.max() < 0.05, d.max()
+    da = np.abs(np.asarray(fast["acc_map"]) - np.asarray(exact["acc_map"]))
+    assert da.max() < 0.05, da.max()
+
+
+def test_fast_render_empty_rays_zero():
+    mlp, params, ro, rd, vd = _setup()
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False)
+    # rays pointing away from the object: zero acc
+    fast = occupancy.render_rays_fast(params, None, ro, -rd, vd, 2.0, 6.0,
+                                      grid, rc, n_candidates=64, budget=32)
+    assert float(np.abs(np.asarray(fast["acc_map"])).max()) < 1e-6
+
+
+def test_fast_render_tiled_matches_exact():
+    """Tiled (camera-frame) selection: shared per-block candidates still
+    integrate each ray's own density; parity within fast-mode tolerance."""
+    mlp, params, ro, rd, vd = _setup()
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False, early_term_eps=0.0)
+    key = jax.random.PRNGKey(0)
+    exact = renderer.render_rays(params, None, None, None, ro, rd, vd,
+                                 2.0, 6.0, key, rc, deterministic=True)
+    # subsample=2 on the tiny 16x16 fixture: the selection raster must stay
+    # finer than the object's screen footprint (~4 px here; real frames use
+    # 4 with hundreds of pixels of footprint)
+    fast = occupancy.render_rays_fast(params, None, ro, rd, vd, 2.0, 6.0,
+                                      grid, rc, n_candidates=64, budget=40,
+                                      layout=(16, 16), subsample=2)
+    d = np.abs(np.asarray(fast["rgb_map"]) - np.asarray(exact["rgb_map"]))
+    assert d.max() < 0.06, d.max()
