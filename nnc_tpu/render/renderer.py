@@ -227,6 +227,31 @@ def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
     if key is None:
         key = jax.random.PRNGKey(0)
 
+    chunk_fn = render_chunk
+    if mesh is not None:
+        # explicit per-device sharding: pallas_call has no SPMD partitioning
+        # rule, so under plain pjit the fused kernels would be replicated
+        # with full-chunk inputs on every chip; shard_map hands each device
+        # its ray shard and the kernels run shard-locally
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        @partial(jax.jit, static_argnames=("rc_", "det"))
+        def chunk_fn(p, pf, l, lf, ro_c, rd_c, near_, far_, key_, rc_, det,
+                     vd_c=None):
+            d = P("data")
+            fn = shard_map(
+                lambda *a: render_chunk(*a[:8], key_, rc_, det, a[8]),
+                mesh=mesh,
+                in_specs=(P(), P(), P(), P(), d, d, P(), P(),
+                          P() if vd_c is None else d),
+                out_specs=d, check_rep=False)
+            return fn(p, pf, l, lf, ro_c, rd_c,
+                      jnp.asarray(near_, jnp.float32),
+                      jnp.asarray(far_, jnp.float32), vd_c)
+
     outs = []
     for start in range(0, n, chunk):
         end = min(n, start + chunk)
@@ -238,10 +263,10 @@ def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
             rd_c = np.concatenate([rd_c, np.ones((pad, 3), np.float32)])
             if vd_c is not None:
                 vd_c = np.concatenate([vd_c, np.ones((pad, 3), np.float32)])
-        res = render_chunk(params, params_fine, ls, ls_fine,
-                           put(ro_c), put(rd_c), near, far,
-                           key, rc, True,
-                           None if vd_c is None else put(vd_c))
+        res = chunk_fn(params, params_fine, ls, ls_fine,
+                       put(ro_c), put(rd_c), near, far,
+                       key, rc, True,
+                       None if vd_c is None else put(vd_c))
         # keep results on device: materializing per chunk would serialize
         # dispatch with device->host transfers
         outs.append(({k: v[:end - start] for k, v in res.items()

@@ -163,6 +163,12 @@ def make_render_config(scene, mlp_config=None, chunk=1024 * 32,
         lindisp=False,
         chunk=chunk,
         use_fused_mlp=use_fused_mlp,
+        # deterministic (test/i_save) renders take the fused-compositing
+        # kernel with early termination + empty-ray culling; training takes
+        # the custom_vjp fused pair. Both gate on supports(mlp_config) and
+        # fall back to XLA off-TPU.
+        use_fused_compositing=use_fused_mlp,
+        use_fused_train=use_fused_mlp,
     )
 
 

@@ -120,3 +120,28 @@ def test_training_with_fused_flag_on_flagship_config():
     out = step(scales, opt.init(scales), params, ro, rd, None, tgt,
                2.0, 6.0, key)
     assert np.isfinite(float(out[2]))
+
+
+def test_render_image_mesh_fused_kernels_match_single():
+    """Fused Pallas kernels under a mesh go through shard_map (pallas_call
+    has no SPMD partitioning rule); results are bit-identical to single
+    device."""
+    import numpy as np
+    from nnc_tpu import parallel
+    from nnc_tpu.models import nerf
+    from nnc_tpu.render import renderer
+
+    mesh = parallel.make_mesh(8)
+    mlp = nerf.NeRFConfig()  # flagship config engages the fused paths
+    params = nerf.init_params(jax.random.PRNGKey(0), mlp)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=8, n_importance=8,
+                               chunk=256, use_fused_mlp=True,
+                               use_fused_compositing=True)
+    rng = np.random.default_rng(0)
+    ro = rng.normal(0, 0.1, (300, 3)).astype(np.float32)
+    rd = (rng.normal(0, 0.2, (300, 3)) + [0, 0, -1]).astype(np.float32)
+    out_m = renderer.render_image(params, params, None, None, ro, rd,
+                                  2.0, 6.0, rc, mesh=mesh)
+    out_s = renderer.render_image(params, params, None, None, ro, rd,
+                                  2.0, 6.0, rc)
+    np.testing.assert_array_equal(out_m["rgb_map"], out_s["rgb_map"])
