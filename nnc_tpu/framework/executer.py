@@ -82,6 +82,17 @@ class NeRFModelExecuter(ModelExecute):
                       savedir=None):
         scene = self.scene
         rgbs, psnrs = [], []
+        # occupancy fast mode: one grid from the fine network per call,
+        # amortized across all views (NDC-warped rays keep the exact path —
+        # the grid AABB is world-space)
+        grid = None
+        if self.rc.use_occupancy_renders and not scene.get("ndc", False):
+            from ..ops.mlp_pallas import supports
+            if supports(self.rc.mlp):
+                from ..render import occupancy
+                grid = occupancy.build_occupancy_grid(
+                    params_f if params_f is not None else params_c,
+                    ls_f if params_f is not None else ls_c, self.rc.mlp)
         for vi in pose_indices:
             ro, rd = get_rays_np(scene["H"], scene["W"], scene["K"],
                                  scene["poses"][vi, :3, :4])
@@ -93,8 +104,16 @@ class NeRFModelExecuter(ModelExecute):
                                       float(scene["K"][0][0]), 1.0,
                                       jnp.asarray(ro), jnp.asarray(rd))
                 ro, rd = np.asarray(ro_j), np.asarray(rd_j)
-            out = renderer.render_image(params_c, params_f, ls_c, ls_f, ro,
-                                        rd, near, far, self.rc, viewdirs=vd)
+            if grid is not None:
+                from ..render import occupancy
+                out = occupancy.render_image_fast(
+                    params_f if params_f is not None else params_c,
+                    ls_f if params_f is not None else ls_c,
+                    ro, rd, near, far, self.rc, grid)
+            else:
+                out = renderer.render_image(params_c, params_f, ls_c, ls_f,
+                                            ro, rd, near, far, self.rc,
+                                            viewdirs=vd)
             rgb = out["rgb_map"]
             rgbs.append(rgb)
             gt = scene["images"][vi]

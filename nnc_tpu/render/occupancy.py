@@ -219,3 +219,38 @@ def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
     if rc.white_bkgd:
         res["rgb_map"] = res["rgb_map"] + (1.0 - res["acc_map"][..., None])
     return res
+
+
+def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
+                      grid: OccupancyGrid = None, *, n_candidates: int = 192,
+                      budget: int = 48, subsample: int = 4, row_chunk=256):
+    """Render a full camera frame through the occupancy fast mode.
+
+    rays_o/d: (H, W, 3) host arrays. Builds the grid from ``params``/``ls``
+    when not supplied (≈one density sweep, amortized over the frame).
+    Returns dict of host numpy maps shaped (H, W, ...)."""
+    H, W = rays_o.shape[:2]
+    if grid is None:
+        grid = build_occupancy_grid(params, ls, rc.mlp)
+    rows = min(row_chunk, H)
+    while H % rows:
+        rows -= 1
+    rows = max(rows, subsample)
+
+    @jax.jit
+    def run(ro, rd):
+        vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        return render_rays_fast(params, ls, ro, rd, vd, near, far, grid, rc,
+                                n_candidates=n_candidates, budget=budget,
+                                layout=(rows, W), subsample=subsample)
+
+    outs = []
+    for r0 in range(0, H, rows):
+        ro = jnp.asarray(np.asarray(
+            rays_o[r0:r0 + rows], np.float32).reshape(-1, 3))
+        rd = jnp.asarray(np.asarray(
+            rays_d[r0:r0 + rows], np.float32).reshape(-1, 3))
+        outs.append(run(ro, rd))
+    merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])
+              for k in outs[0]}
+    return {k: v.reshape((H, W) + v.shape[1:]) for k, v in merged.items()}

@@ -55,6 +55,9 @@ class RenderConfig:
     # set train_with_dw for fine-tuning (weight/bias grads, not just LSA)
     use_fused_train: bool = False
     train_with_dw: bool = False
+    # full-frame test renders (executer i_save/test paths) go through the
+    # occupancy-grid fast mode (render/occupancy.py) — opt-in, lossy mode
+    use_occupancy_renders: bool = False
 
 
 def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig,

@@ -85,3 +85,46 @@ def test_fast_render_tiled_matches_exact():
                                       layout=(16, 16), subsample=2)
     d = np.abs(np.asarray(fast["rgb_map"]) - np.asarray(exact["rgb_map"]))
     assert d.max() < 0.06, d.max()
+
+
+def test_render_image_fast_full_frame():
+    mlp, params, *_ = _setup()
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False, early_term_eps=0.0)
+    H, W = 16, 16
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    from nnc_tpu.data.synthetic import look_at_poses
+    pose = look_at_poses(1, seed=0)[0]
+    ro, rd = get_rays_np(H, W, K, pose[:3, :4])
+    out = occupancy.render_image_fast(params, None, ro, rd, 2.0, 6.0, rc,
+                                      grid, n_candidates=64, budget=40,
+                                      subsample=2, row_chunk=8)
+    assert out["rgb_map"].shape == (H, W, 3)
+    exact = renderer.render_image(params, None, None, None, ro, rd, 2.0,
+                                  6.0, rc)
+    d = np.abs(out["rgb_map"] - exact["rgb_map"])
+    assert d.max() < 0.06, d.max()
+
+
+def test_executer_occupancy_renders(tmp_path):
+    """NeRFModelExecuter test renders route through the fast mode when
+    use_occupancy_renders is set (flagship config only)."""
+    from nnc_tpu.data.synthetic import make_scene
+    from nnc_tpu.framework.executer import NeRFModelExecuter
+    from nnc_tpu.models import nerf as nerf_mod
+
+    mlp = nerf_mod.NeRFConfig()  # flagship: fast path engages
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=16, n_importance=8,
+                               chunk=256, use_occupancy_renders=True)
+    scene, (tc, tf_) = make_scene(n_images=2, H=8, W=8, mlp=mlp, rc=rc,
+                                  seed=3)
+    ex = NeRFModelExecuter(scene, rc, verbose=False)
+    sd = {}
+    sd.update(nerf_mod.params_to_state_dict(tc, "model."))
+    sd.update(nerf_mod.params_to_state_dict(tf_, "model_fine."))
+    psnr = ex.test_model(sd)
+    assert np.isfinite(psnr)
