@@ -238,11 +238,16 @@ def _encode_ndu_payload(block_or_param, approx_data, enc_info, mps_qp):
     return enc.finish().tobytes(), ep_lists
 
 
-def encode(enc_info, model_info, approx_data, ndu_oob=None):
+def encode(enc_info, model_info, approx_data, ndu_oob=None,
+           num_workers: int = 0):
     """Serialize model_info + approx_data into a full NNR bitstream.
     ``ndu_oob`` (from :func:`compile_ndu_oob`) omits the flagged NDU header
     fields; decoding then requires external model information.
-    (reference: coder/__init__.py:100-148)"""
+    (reference: coder/__init__.py:100-148)
+
+    ``num_workers > 1`` CABAC-encodes NDU payloads in a thread pool: each
+    NDU is an independent stream segment and the native encoder releases
+    the GIL, mirroring the parallel decode path."""
     bitstream = bytearray()
     topology_present = model_info["topology_storage_format"] is not None
     mps = compile_mps(approx_data, topology_present)
@@ -254,6 +259,7 @@ def encode(enc_info, model_info, approx_data, ndu_oob=None):
         bitstream += syntax.encode_unit(compile_tpl(model_info))
 
     model_access = NNRModelAccess(model_info)
+    units = []  # (header, block_or_param or None) in bitstream order
     for block_or_param in model_access.blocks_and_params():
         is_block = block_or_param.block_id is not None
         if is_block:
@@ -268,13 +274,28 @@ def encode(enc_info, model_info, approx_data, ndu_oob=None):
             dims = approx_data["parameters"][param].shape
             h = compile_ndu(param, approx_data, enc_info, model_info, False,
                             0, None, dims, ndu_oob)
+        raw = h["nnr_compressed_data_unit_payload_type"] == \
+            _PT.NNR_PT_RAW_FLOAT
+        units.append((h, None if raw else block_or_param))
 
-        if h["nnr_compressed_data_unit_payload_type"] == _PT.NNR_PT_RAW_FLOAT:
+    def payload_of(block_or_param):
+        if block_or_param is None:
+            return None
+        return _encode_ndu_payload(block_or_param, approx_data, enc_info,
+                                   mps_qp)
+
+    if num_workers > 1 and len(units) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            payloads = list(pool.map(payload_of, [u[1] for u in units]))
+    else:
+        payloads = [payload_of(u[1]) for u in units]
+
+    for (h, _bp), result in zip(units, payloads):
+        if result is None:
             bitstream += syntax.encode_unit(h)
             continue
-
-        payload, ep_lists = _encode_ndu_payload(block_or_param, approx_data,
-                                                enc_info, mps_qp)
+        payload, ep_lists = result
         if ep_lists:
             h["cabac_entry_point_lists"] = ep_lists
         bitstream += syntax.encode_unit(h, payload)

@@ -200,7 +200,8 @@ def compress(parameter_dict,
              verbose=True,
              return_bitstream=False,
              decompose_rank=None,
-             decompose_energy=None):
+             decompose_energy=None,
+             num_workers=0):
     """Compress a flat parameter dict. (reference: nnc/compression.py:318-563)
 
     decompose_rank/decompose_energy enable low-rank (G/H) weight
@@ -285,7 +286,8 @@ def compress(parameter_dict,
             "cabac_unary_length_minus1": cabac_unary_length_minus1,
             "param_opt_flag": 1 if param_opt else 0,
         }
-        bitstream = coder.encode(enc_info, model_info, approx_data_enc)
+        bitstream = coder.encode(enc_info, model_info, approx_data_enc,
+                                 num_workers=num_workers)
 
     original_size = model_info.get("original_size") or sum(
         np.asarray(v).nbytes for v in parameters.values())

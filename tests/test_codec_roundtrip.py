@@ -309,3 +309,17 @@ def test_oob_ndu_headers_roundtrip():
     for name in d:
         assert np.array_equal(ad_dec["parameters"][name],
                               ad_enc["parameters"][name]), name
+
+
+def test_parallel_ndu_encode_matches_serial():
+    rng = np.random.default_rng(14)
+    d = make_mlp_dict(rng, layers=4, width=24, in_dim=12)
+    from nnc_tpu import compression
+    bs1 = compression.compress(dict(d), bitstream_path=None, qp=-24,
+                               block_id_and_param_type=make_block_map(d),
+                               verbose=False, return_bitstream=True)
+    bs2 = compression.compress(dict(d), bitstream_path=None, qp=-24,
+                               block_id_and_param_type=make_block_map(d),
+                               verbose=False, return_bitstream=True,
+                               num_workers=4)
+    assert bs1 == bs2  # byte-identical regardless of worker count
