@@ -50,7 +50,9 @@ def main(args):
         learning_rate_decay=args.learning_rate_decay,
         i_save=args.i_save,
         scene=scene,
-        use_fused_mlp=args.use_fused_mlp)
+        use_fused_mlp=args.use_fused_mlp,
+        occupancy_renders=args.occupancy_renders,
+        num_workers=args.num_workers)
 
     nnc_tpu.decompress_model(path_dict["bitstream"],
                              model_path=path_dict["reconstructed"])
@@ -85,6 +87,12 @@ def build_parser():
     parser.add_argument("--use_fused_mlp", type=lambda s: s.lower() in
                         ("1", "true", "yes"), default=True,
                         help="Use the Pallas fused MLP for renders.")
+    parser.add_argument("--occupancy_renders", type=lambda s: s.lower() in
+                        ("1", "true", "yes"), default=False,
+                        help="Route i_save/test full-frame renders through "
+                             "the occupancy-grid fast mode (lossy, ~4x).")
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="Host threads for parallel NDU encode/decode.")
     return parser
 
 

@@ -85,7 +85,8 @@ def compress_model(model_path_or_object,
                    scene=None,
                    mlp_config=None,
                    mesh=None,
-                   use_fused_mlp=False):
+                   use_fused_mlp=False,
+                   occupancy_renders=False):
     """Compress a model (torch module, state dict, flat numpy dict, or file
     path) into an NNR bitstream. (reference: nnc/compression.py:74-315)"""
     from .framework import tf_io, torch_io
@@ -142,9 +143,14 @@ def compress_model(model_path_or_object,
             learning_rate_decay=learning_rate_decay, n_iters=N_iters,
             i_save=i_save, mlp_config=mlp_config, mesh=mesh,
             use_fused_mlp=use_fused_mlp, verbose=verbose)
+        if occupancy_renders:
+            import dataclasses
+            model_executer.rc = dataclasses.replace(
+                model_executer.rc, use_occupancy_renders=True)
 
     result = compress(
         parameters,
+        num_workers=num_workers,
         bitstream_path=bitstream_path,
         qp=qp,
         qp_density=qp_density,

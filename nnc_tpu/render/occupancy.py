@@ -198,6 +198,10 @@ def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
     from ..ops.render_pallas import fused_render_pass
 
     n_rays = rays_o.shape[0]
+    if layout is not None and (layout[0] % subsample
+                               or layout[1] % subsample
+                               or layout[0] * layout[1] != n_rays):
+        layout = None  # fall back to per-ray selection
     if layout is not None:
         z, dists, any_occ = select_occupied_samples_tiled(
             grid, rays_o, rays_d, near, far, n_candidates, budget, layout,
