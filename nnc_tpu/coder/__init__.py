@@ -88,25 +88,22 @@ def compile_tpl(model_info):
     }
 
 
-def compile_ndu_oob(tensor_dims=None, cabac_unary_length_minus1=None,
-                    compressed_parameter_types=None,
-                    decomposition_parameter_dict=None):
-    """Out-of-band NDU parameters: fields provided here are omitted from the
-    serialized headers; the decoder must be handed the same values (via
-    ``decode(..., model_info=...)``). (reference:
-    nnc_core/coder/syntax_compiler.py:44-63)"""
-    oob = {}
-    have_all = (tensor_dims is not None
-                and cabac_unary_length_minus1 is not None
-                and compressed_parameter_types is not None
-                and (decomposition_parameter_dict is not None
-                     or not (compressed_parameter_types or 0)
-                     & _CPT.NNR_CPT_DC))
-    oob["input_parameters_present_flag"] = 0 if have_all else 1
-    oob["tensor_dimensions_flag"] = 0 if tensor_dims is not None else 1
-    oob["cabac_unary_length_flag"] = \
-        0 if cabac_unary_length_minus1 is not None else 1
-    return oob
+def compile_ndu_oob(tensor_dims=None, cabac_unary_length_minus1=None):
+    """Out-of-band NDU parameters: tensor dimensions and/or the CABAC unary
+    length are omitted from the serialized headers; the decoder must be
+    handed the same values (via ``decode(..., model_info=...)``).
+
+    The reference's fully-out-of-band variant (input_parameters_present_flag
+    = 0, syntax_compiler.py:44-63) also externalizes per-unit
+    compressed_parameter_types and DC fields, which cannot round-trip with
+    a single OOB dict on multi-block models; this implementation keeps
+    those in-band (the sub-flags carry the size savings)."""
+    return {
+        "input_parameters_present_flag": 1,
+        "tensor_dimensions_flag": 0 if tensor_dims is not None else 1,
+        "cabac_unary_length_flag":
+            0 if cabac_unary_length_minus1 is not None else 1,
+    }
 
 
 def _coded_tensors(block_or_param, approx_data):

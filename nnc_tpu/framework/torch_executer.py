@@ -51,6 +51,8 @@ def add_lsa_scaling(model, max_depth: int = 5):
             super().__init__()
             self.inner_cfg = (inner.stride, inner.padding, inner.dilation,
                               inner.groups)
+            self.padding_mode = inner.padding_mode
+            self.pad_twice = tuple(inner._reversed_padding_repeated_twice)
             self.weight = inner.weight
             self.bias = inner.bias
             self.weight_scaling = nn.Parameter(
@@ -58,9 +60,15 @@ def add_lsa_scaling(model, max_depth: int = 5):
 
         def forward(self, x):
             s, p, d, g = self.inner_cfg
-            return nn.functional.conv2d(
-                x, self.weight_scaling * self.weight, self.bias,
-                stride=s, padding=p, dilation=d, groups=g)
+            w = self.weight_scaling * self.weight
+            if self.padding_mode != "zeros":
+                # F.conv2d only zero-pads; reflect/replicate/circular pads
+                # must be applied explicitly (as nn.Conv2d does internally)
+                x = nn.functional.pad(x, self.pad_twice,
+                                      mode=self.padding_mode)
+                p = 0
+            return nn.functional.conv2d(x, w, self.bias, stride=s,
+                                        padding=p, dilation=d, groups=g)
 
     def walk(mod, depth):
         for name, child in mod.named_children():

@@ -384,8 +384,10 @@ def _oob_fill(h: dict, oob) -> None:
             "external model information (tensor dimensions)")
     if "tensor_dimensions" not in h:
         if h.get("nnr_multiple_topology_elements_present_flag"):
-            # the weight is the last topology element of a block NDU
-            name = h["topology_elem_id_list"][-1]
+            # the weight (or its G factor) is the FIRST topology element of
+            # a block NDU (coder._block_names_from_topology ordering);
+            # companions (ls/bn/bias) follow
+            name = h["topology_elem_id_list"][0]
             if name.endswith("_G") or name.endswith("_H"):
                 name = name[:-2]
         else:
@@ -396,8 +398,6 @@ def _oob_fill(h: dict, oob) -> None:
     if "cabac_unary_length_minus1" not in h:
         h["cabac_unary_length_minus1"] = int(
             oob.get("cabac_unary_length_minus1", 10))
-    h.setdefault("compressed_parameter_types",
-                 int(oob.get("compressed_parameter_types", 0)))
 
 
 def _read_ndu(r: BitReader, h: dict, oob=None) -> None:

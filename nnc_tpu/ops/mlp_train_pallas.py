@@ -349,10 +349,12 @@ def _train_op_bwd(with_dw, interpret, resid, g):
     dW, dB, dL = _bwd_call(packed, biases, lss, ptsdir, g, with_dw,
                            interpret=interpret)
     if not with_dw:
-        # LSA-only training: weights AND biases are frozen (reference sets
-        # requires_grad only on weight_scaling, pytorch_model:1129-1145)
+        # dW is the expensive part (one extra matmul per layer) and is
+        # skipped in-kernel; dB/dls are always real — which parameters
+        # actually train is the optimizer's choice (a pytree that simply
+        # omits frozen leaves), NOT the VJP's. Zeroing dB here silently
+        # killed fine-tuning when the fused train path was on.
         dW = jax.tree.map(jnp.zeros_like, packed)
-        dB = jax.tree.map(jnp.zeros_like, biases)
     dW = {k: v.astype(packed[k].dtype) for k, v in dW.items()}
     return dW, dB, dL, jnp.zeros_like(ptsdir)
 

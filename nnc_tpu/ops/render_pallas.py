@@ -202,6 +202,9 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     of 0 contribute exactly nothing). Returns dict(rgb_map, acc_map,
     depth_map, disp_map, weights)."""
     n_rays, s = z_vals.shape
+    # half-tiles below 16 sublanes miscompile on Mosaic (CLAUDE.md), so the
+    # two interleaved chains need r_t to be a multiple of 32
+    assert r_t % 32 == 0, f"fusion_ray_tile must be a multiple of 32: {r_t}"
     if s % s_blk != 0:
         # largest divisor of s up to the preferred block keeps shapes static
         s_blk = next(k for k in range(min(s, s_blk), 0, -1) if s % k == 0)

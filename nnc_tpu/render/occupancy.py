@@ -38,6 +38,15 @@ class OccupancyGrid:
         return self.occ.shape[0]
 
 
+# pytree registration (occ dynamic, bounds static) so grids pass through
+# jit boundaries — letting the frame renderer reuse one compiled program
+# across views instead of retracing per call
+jax.tree_util.register_pytree_node(
+    OccupancyGrid,
+    lambda g: ((g.occ,), (g.lo, g.hi)),
+    lambda aux, ch: OccupancyGrid(occ=ch[0], lo=aux[0], hi=aux[1]))
+
+
 def build_occupancy_grid(params, ls, config: nerf.NeRFConfig, *,
                          lo=(-2.0, -2.0, -2.0), hi=(2.0, 2.0, 2.0),
                          res: int = 128, sigma_threshold: float = 1e-2,
@@ -241,20 +250,29 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
         rows -= 1
     rows = max(rows, subsample)
 
-    @jax.jit
-    def run(ro, rd):
-        vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-        return render_rays_fast(params, ls, ro, rd, vd, near, far, grid, rc,
-                                n_candidates=n_candidates, budget=budget,
-                                layout=(rows, W), subsample=subsample)
-
     outs = []
     for r0 in range(0, H, rows):
         ro = jnp.asarray(np.asarray(
             rays_o[r0:r0 + rows], np.float32).reshape(-1, 3))
         rd = jnp.asarray(np.asarray(
             rays_d[r0:r0 + rows], np.float32).reshape(-1, 3))
-        outs.append(run(ro, rd))
+        outs.append(_render_frame_rows(params, ls, ro, rd,
+                                       jnp.float32(near), jnp.float32(far),
+                                       grid, rc, n_candidates, budget,
+                                       (rows, W), subsample))
     merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])
               for k in outs[0]}
     return {k: v.reshape((H, W) + v.shape[1:]) for k, v in merged.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("rc", "n_candidates", "budget",
+                                             "layout", "subsample"))
+def _render_frame_rows(params, ls, ro, rd, near, far, grid, rc, n_candidates,
+                       budget, layout, subsample):
+    """Module-level jit: one compiled program shared across all frames/rows
+    of a render run (a per-call @jax.jit closure would retrace every view —
+    20-60 s per compile on this environment)."""
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    return render_rays_fast(params, ls, ro, rd, vd, near, far, grid, rc,
+                            n_candidates=n_candidates, budget=budget,
+                            layout=layout, subsample=subsample)

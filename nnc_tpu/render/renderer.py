@@ -196,6 +196,33 @@ def render_chunk(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
                        viewdirs, near, far, key, rc, deterministic)
 
 
+@functools.lru_cache(maxsize=8)
+def _mesh_chunk_fn(mesh):
+    """Per-mesh cached shard_map chunk renderer: pallas_call has no SPMD
+    partitioning rule, so under plain pjit the fused kernels would be
+    replicated with full-chunk inputs on every chip; shard_map hands each
+    device its ray shard and the kernels run shard-locally. (Built once per
+    mesh — a per-call closure would recompile every render_image call.)"""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(jax.jit, static_argnames=("rc_", "det"))
+    def chunk_fn(p, pf, l, lf, ro_c, rd_c, near_, far_, key_, rc_, det,
+                 vd_c=None):
+        d = P("data")
+        fn = shard_map(
+            lambda *a: render_chunk(*a[:8], key_, rc_, det, a[8]),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), d, d, P(), P(),
+                      P() if vd_c is None else d),
+            out_specs=d, check_rep=False)
+        return fn(p, pf, l, lf, ro_c, rd_c,
+                  jnp.asarray(near_, jnp.float32),
+                  jnp.asarray(far_, jnp.float32), vd_c)
+
+    return chunk_fn
+
+
 def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
                  rc: RenderConfig, key=None, viewdirs=None, mesh=None):
     """Render an arbitrary set of rays by chunking (host loop, padded tail).
@@ -230,30 +257,7 @@ def render_image(params, params_fine, ls, ls_fine, rays_o, rays_d, near, far,
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    chunk_fn = render_chunk
-    if mesh is not None:
-        # explicit per-device sharding: pallas_call has no SPMD partitioning
-        # rule, so under plain pjit the fused kernels would be replicated
-        # with full-chunk inputs on every chip; shard_map hands each device
-        # its ray shard and the kernels run shard-locally
-        from functools import partial
-
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        @partial(jax.jit, static_argnames=("rc_", "det"))
-        def chunk_fn(p, pf, l, lf, ro_c, rd_c, near_, far_, key_, rc_, det,
-                     vd_c=None):
-            d = P("data")
-            fn = shard_map(
-                lambda *a: render_chunk(*a[:8], key_, rc_, det, a[8]),
-                mesh=mesh,
-                in_specs=(P(), P(), P(), P(), d, d, P(), P(),
-                          P() if vd_c is None else d),
-                out_specs=d, check_rep=False)
-            return fn(p, pf, l, lf, ro_c, rd_c,
-                      jnp.asarray(near_, jnp.float32),
-                      jnp.asarray(far_, jnp.float32), vd_c)
+    chunk_fn = render_chunk if mesh is None else _mesh_chunk_fn(mesh)
 
     outs = []
     for start in range(0, n, chunk):

@@ -311,6 +311,34 @@ def test_oob_ndu_headers_roundtrip():
                               ad_enc["parameters"][name]), name
 
 
+def test_oob_ndu_headers_block_units():
+    """OOB dims with BLOCK NDUs: the weight's dims come from the FIRST
+    topology element (companions follow it)."""
+    rng = np.random.default_rng(31)
+    d = make_mlp_dict(rng, layers=2, width=24, in_dim=16)
+    block_map = make_block_map(d)
+    nnc_mdl = nnr_model.NNRModel(d)
+    params = nnc_mdl.init_model_from_dict(d)
+    model_info = nnc_mdl.model_info
+    model_info["topology_storage_format"] = hls.TopologyStorageFormat.NNR_TPL_PYT
+    nnr_model.set_block_id_and_param_type(model_info, block_map)
+    approx_data = approximator.init_approx_data(params, model_info, 2, 0)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 0, -24, False, False, 10, 0.0)
+    ad_enc = approximator.approx(ap_info.approx_info, model_info, approx_data,
+                                 verbose=False)
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    oob = coder.compile_ndu_oob(tensor_dims=True,
+                                cabac_unary_length_minus1=10)
+    bs = coder.encode(enc_info, model_info, ad_enc, ndu_oob=oob)
+    ext = {"parameter_dimensions": dict(model_info["parameter_dimensions"]),
+           "cabac_unary_length_minus1": 10}
+    dec_info, ad_dec = coder.decode(bs, model_info=ext)
+    for name in d:
+        assert np.array_equal(ad_dec["parameters"][name],
+                              ad_enc["parameters"][name]), name
+
+
 def test_parallel_ndu_encode_matches_serial():
     rng = np.random.default_rng(14)
     d = make_mlp_dict(rng, layers=4, width=24, in_dim=12)

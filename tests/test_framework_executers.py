@@ -109,3 +109,22 @@ def test_nerf_use_case_train_hook():
     assert ls_keys
     moved = sum(float(np.abs(sd[k] - 1.0).max()) for k in ls_keys)
     assert moved > 0.0
+
+
+def test_scaled_conv2d_preserves_padding_mode():
+    import torch
+    import torch.nn as nn
+    from nnc_tpu.framework.torch_executer import add_lsa_scaling
+
+    torch.manual_seed(0)
+    for mode in ("zeros", "reflect", "circular", "replicate"):
+        conv = nn.Conv2d(3, 4, 3, padding=1, padding_mode=mode)
+        wrapped = add_lsa_scaling(nn.Sequential(conv))
+        # force identity scales for an exact comparison
+        with torch.no_grad():
+            wrapped[0].weight_scaling.fill_(1.0)
+        ref = nn.Conv2d(3, 4, 3, padding=1, padding_mode=mode)
+        ref.load_state_dict({"weight": wrapped[0].weight,
+                             "bias": wrapped[0].bias})
+        x = torch.randn(2, 3, 8, 8)
+        torch.testing.assert_close(wrapped(x), ref(x))

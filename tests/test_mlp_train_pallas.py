@@ -69,13 +69,17 @@ def test_weight_gradients_match_reference_with_dw():
                                 f"{name}.{leaf}")
 
 
-def test_weight_gradients_zero_without_dw():
+def test_weight_gradients_zero_but_bias_real_without_dw():
+    """with_dw gates only the expensive dW matmuls; bias grads must stay
+    real (fine-tuning trains biases through this path)."""
     mlp, params, ls, pts, vd, tgt = _fixture()
     g = jax.grad(
         lambda p: _fused_loss(ls, p, pts, vd, tgt, mlp, with_dw=False))(params)
-    total = sum(float(jnp.abs(v).sum()) for d in g.values()
-                for v in d.values())
-    assert total == 0.0
+    g_ref = jax.grad(_ref_loss, argnums=1)(ls, params, pts, vd, tgt, mlp)
+    w_total = sum(float(jnp.abs(d["w"]).sum()) for d in g.values())
+    assert w_total == 0.0
+    for name in g_ref:
+        _assert_grads_close(g[name]["b"], g_ref[name]["b"], f"{name}.b")
 
 
 def test_padding_tail_gradients():
