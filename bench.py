@@ -67,7 +67,7 @@ def bench_render(jax, jnp):
     def run_fast(ro, rd, vd):
         return occupancy.render_rays_fast(
             params_f, None, ro, rd, vd, 2.0, 6.0, grid, rc,
-            n_candidates=128, budget=32, layout=(H, W), subsample=4)
+            n_candidates=96, budget=48, layout=(H, W), subsample=4)
 
     out_f = run_fast(rays_o, rays_d, vd)
     dev = float(np.asarray(jnp.max(jnp.abs(out_f["rgb_map"]

@@ -197,8 +197,8 @@ def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
 
 
 def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
-                     grid: OccupancyGrid, rc, *, n_candidates: int = 128,
-                     budget: int = 32, layout=None, subsample: int = 4):
+                     grid: OccupancyGrid, rc, *, n_candidates: int = 96,
+                     budget: int = 48, layout=None, subsample: int = 4):
     """Occupancy-accelerated single-network render (uses the fine network's
     parameters; no hierarchical resampling — the grid already concentrates
     samples). ``layout=(H, W)`` enables tiled selection for camera frames
@@ -235,8 +235,8 @@ def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
 
 
 def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
-                      grid: OccupancyGrid = None, *, n_candidates: int = 128,
-                      budget: int = 32, subsample: int = 4, row_chunk=256):
+                      grid: OccupancyGrid = None, *, n_candidates: int = 96,
+                      budget: int = 48, subsample: int = 4, row_chunk=256):
     """Render a full camera frame through the occupancy fast mode.
 
     rays_o/d: (H, W, 3) host arrays. Builds the grid from ``params``/``ls``
