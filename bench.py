@@ -1,9 +1,9 @@
 """Benchmark suite: render + LSA train + codec throughput. ONE JSON line.
 
 Chunk size is a 160x256 frame (40960 rays): per-call fixed costs (sampling,
-sorts, kernel dispatch) amortize with chunk size — the fast mode more than
-doubles between 8K and 40K rays/chunk — and production full-frame renders
-use chunks at least this large.
+sorts, kernel dispatch) amortize with chunk size (fast mode 1.40M -> 1.89M
+rays/s between 8K and 40K rays/chunk) and production full-frame renders use
+chunks at least this large.
 
 Primary metric: hierarchical NeRF render throughput (rays/sec/chip) on the
 flagship configuration (8x256 MLP, 64 coarse + 128 importance samples,

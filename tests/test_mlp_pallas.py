@@ -194,4 +194,3 @@ def test_int8_mlp_bounded_error():
     scale = np.abs(ref).max()
     err = np.abs(got - ref)
     assert err.max() < 0.05 * scale + 0.05, (err.max(), scale)
-
