@@ -195,17 +195,24 @@ class NeRFModelExecuter(ModelExecute):
                         scene["near"], scene["far"], self.rc, viewdirs=vd)
                     spiral.append(out["rgb_map"])
                 spiral_frames = np.stack(spiral)
-            try:
+            def write_video(name, frames):
                 import imageio.v2 as imageio
-                imageio.mimwrite(
-                    os.path.join(moviedir, f"step{step}_rgb.mp4"),
-                    to8b(rgbs), fps=30, quality=8)
-                if spiral_frames is not None:
-                    imageio.mimwrite(
-                        os.path.join(moviedir, f"step{step}_spiral_rgb.mp4"),
-                        to8b(spiral_frames), fps=30, quality=8)
-            except Exception as e:  # ffmpeg may be absent
-                print(f"INFO: mp4 writing skipped ({e})")
+                try:
+                    imageio.mimwrite(os.path.join(moviedir, name + ".mp4"),
+                                     to8b(frames), fps=30, quality=8)
+                except Exception:
+                    # ffmpeg may be absent: fall back to GIF so the video
+                    # artifact exists in every environment
+                    try:
+                        imageio.mimwrite(
+                            os.path.join(moviedir, name + ".gif"),
+                            to8b(frames), duration=33, loop=0)
+                    except Exception as e:
+                        print(f"INFO: video writing skipped ({e})")
+
+            write_video(f"step{step}_rgb", rgbs)
+            if spiral_frames is not None:
+                write_video(f"step{step}_spiral_rgb", spiral_frames)
 
         ls_c, ls_f, mean_psnr, mean_loss, _, biases = lsa.tune_lsa_scales(
             params_c, params_f, ls_c, ls_f, batcher, self.rc,
