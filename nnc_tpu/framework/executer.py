@@ -90,9 +90,13 @@ class NeRFModelExecuter(ModelExecute):
             from ..ops.mlp_pallas import supports
             if supports(self.rc.mlp):
                 from ..render import occupancy
+                # grid bounds: scene override, else the blender-convention
+                # default [-2, 2]^3 (objects normalized near the origin)
+                aabb = scene.get("aabb", ((-2.0,) * 3, (2.0,) * 3))
                 grid = occupancy.build_occupancy_grid(
                     params_f if params_f is not None else params_c,
-                    ls_f if params_f is not None else ls_c, self.rc.mlp)
+                    ls_f if params_f is not None else ls_c, self.rc.mlp,
+                    lo=tuple(aabb[0]), hi=tuple(aabb[1]))
         for vi in pose_indices:
             ro, rd = get_rays_np(scene["H"], scene["W"], scene["K"],
                                  scene["poses"][vi, :3, :4])
