@@ -236,12 +236,17 @@ def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
 
 def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
                       grid: OccupancyGrid = None, *, n_candidates: int = 96,
-                      budget: int = 48, subsample: int = 4, row_chunk=256):
+                      budget: int = 48, subsample: int = 4, row_chunk=256,
+                      outputs=("rgb_map", "acc_map", "depth_map",
+                               "disp_map")):
     """Render a full camera frame through the occupancy fast mode.
 
     rays_o/d: (H, W, 3) host arrays. Builds the grid from ``params``/``ls``
     when not supplied (≈one density sweep, amortized over the frame).
-    Returns dict of host numpy maps shaped (H, W, ...)."""
+    ``outputs`` selects which maps reach the host — device-to-host
+    transfers can dominate on tunneled links, so callers that only need
+    rgb should ask for only rgb. Returns dict of host numpy maps shaped
+    (H, W, ...)."""
     H, W = rays_o.shape[:2]
     if grid is None:
         grid = build_occupancy_grid(params, ls, rc.mlp)
@@ -259,20 +264,23 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
         outs.append(_render_frame_rows(params, ls, ro, rd,
                                        jnp.float32(near), jnp.float32(far),
                                        grid, rc, n_candidates, budget,
-                                       (rows, W), subsample))
+                                       (rows, W), subsample,
+                                       tuple(outputs)))
     merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])
               for k in outs[0]}
     return {k: v.reshape((H, W) + v.shape[1:]) for k, v in merged.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("rc", "n_candidates", "budget",
-                                             "layout", "subsample"))
+                                             "layout", "subsample",
+                                             "outputs"))
 def _render_frame_rows(params, ls, ro, rd, near, far, grid, rc, n_candidates,
-                       budget, layout, subsample):
+                       budget, layout, subsample, outputs):
     """Module-level jit: one compiled program shared across all frames/rows
     of a render run (a per-call @jax.jit closure would retrace every view —
     20-60 s per compile on this environment)."""
     vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
-    return render_rays_fast(params, ls, ro, rd, vd, near, far, grid, rc,
-                            n_candidates=n_candidates, budget=budget,
-                            layout=layout, subsample=subsample)
+    out = render_rays_fast(params, ls, ro, rd, vd, near, far, grid, rc,
+                           n_candidates=n_candidates, budget=budget,
+                           layout=layout, subsample=subsample)
+    return {k: out[k] for k in outputs}
