@@ -194,3 +194,22 @@ def test_int8_mlp_bounded_error():
     scale = np.abs(ref).max()
     err = np.abs(got - ref)
     assert err.max() < 0.05 * scale + 0.05, (err.max(), scale)
+
+
+def test_renderer_int8_dispatch():
+    """use_int8_mlp routes deterministic fused renders through the int8
+    kernel; output stays within the quantization error bound."""
+    from nnc_tpu.render import renderer
+
+    mlp, params, ro, rd, vd, z = _render_fixture(32, 16)
+    common = dict(mlp=mlp, n_samples=8, n_importance=0, perturb=False)
+    rc_f32 = renderer.RenderConfig(**common, use_fused_mlp=True)
+    rc_int8 = renderer.RenderConfig(**common, use_fused_mlp=True,
+                                    use_int8_mlp=True)
+    key = jax.random.PRNGKey(0)
+    a = renderer.render_rays(params, None, None, None, ro, rd, vd, 2.0, 6.0,
+                             key, rc_f32, deterministic=True)
+    b = renderer.render_rays(params, None, None, None, ro, rd, vd, 2.0, 6.0,
+                             key, rc_int8, deterministic=True)
+    d = np.abs(np.asarray(a["rgb_map"]) - np.asarray(b["rgb_map"]))
+    assert d.max() < 0.1, d.max()
