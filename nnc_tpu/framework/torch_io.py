@@ -205,6 +205,12 @@ def create_NNC_model_instance_from_file(model_path):
     loaded = torch.load(model_path, map_location="cpu", weights_only=True)
     if isinstance(loaded, dict) and "state_dict" in loaded:
         loaded = loaded["state_dict"]
+    if isinstance(loaded, dict) and "network_fn_state_dict" in loaded:
+        # nerf-pytorch .tar checkpoint: flatten to the wrapper layout
+        # (reference flow: compress_nerf.py wraps first; accepting the .tar
+        # directly makes compress_model('ckpt.tar') just work)
+        from ..utils.ckpt import nerf_tar_to_wrapper_dict
+        loaded, _step = nerf_tar_to_wrapper_dict(model_path)
     nnc_mdl = TorchModel()
     params = nnc_mdl.init_model_from_dict(
         state_dict_to_numpy(loaded))
