@@ -86,7 +86,7 @@ def _composite_block(raw, dists_blk, z_blk, csd_in, h, s):
 
 
 def _make_kernel(r_t, s_blk, n_j, term_csd):
-    def kernel(flags_ref, ptsdir_ref, dists_ref, z_ref, *refs):
+    def kernel(work_ref, ptsdir_ref, dists_ref, z_ref, *refs):
         mlp_refs = refs[:-4]
         maps_ref, w_ref = refs[-4], refs[-3]
         csd_ref, acc_ref = refs[-2], refs[-1]
@@ -98,9 +98,20 @@ def _make_kernel(r_t, s_blk, n_j, term_csd):
             csd_ref[:] = jnp.zeros_like(csd_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        flag_on = flags_ref[pl.program_id(0)] != 0
+        # work_ref (scalar-prefetched, one entry per (i, j) block) folds the
+        # per-tile ray flag with the all-masked-block skip: a block whose
+        # dists are all 0 contributes exactly nothing (alpha = 1 - exp(0)
+        # = 0, csd unchanged). Occupancy-mode selection compacts occupied
+        # samples to the front and the renderer sorts rays by occupied
+        # count, so trailing blocks of light tiles and whole empty tiles are
+        # precomputed dead — their input blocks are index-remapped to block
+        # 0 (see _fused_render_et_call), which elides the DMA entirely for
+        # consecutive skipped steps. Exact-mode dists are strictly positive
+        # (diff + 1e10 sentinel): no behavior change there. Early
+        # termination (alive) stays a runtime predicate.
+        work_on = work_ref[pl.program_id(0) * n_j + j] != 0
         alive = jnp.min(csd_ref[:]) < term_csd
-        active = jnp.logical_and(flag_on, alive)
+        active = jnp.logical_and(work_on, alive)
 
         @pl.when(active)
         def _():
@@ -141,41 +152,62 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
     n_i = flags.shape[0]
     n_rays = n_i * r_t
     n_j = s // s_blk
-    full = lambda a: pl.BlockSpec(a.shape, lambda i, j: (0,) * a.ndim,
+
+    # per-(i, j) work flags: tile ray-flag AND any nonzero dist in the
+    # block. Dead blocks get their input indices remapped to block 0 below,
+    # so runs of skipped grid steps (empty tiles cluster at the end after
+    # the count sort; all-masked trailing blocks cluster per tile) elide
+    # the input DMAs entirely — without remapping, compute-skipped steps
+    # are still DMA-latency-bound (measured: an all-empty chunk rendered
+    # *slower* than a 34%-active one).
+    blk_any = jnp.any(
+        dists.reshape(n_i, n_j, r_t, s_blk) > 0.0, axis=(2, 3))
+    work = (blk_any & (flags != 0)[:, None]).astype(jnp.int32).reshape(-1)
+
+    def remap(i, j, w, _nj=n_j):
+        base = i * _nj + j
+        return (jnp.where(w[base] != 0, base, 0), 0)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i, j, w: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
     in_specs = [
-        # whole flag vector stays resident in SMEM; indexed by program_id
-        pl.BlockSpec((n_i,), lambda i, j: (0,), memory_space=pltpu.SMEM),
         # inputs/outputs sliced per (ray tile, sample block) use a
         # block-major layout (lane width == s_blk) because Mosaic requires
         # lane blocks to be 128-divisible or whole-array
-        pl.BlockSpec((r_t * s_blk, 8), lambda i, j, _nj=n_j: (i * _nj + j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((r_t, s_blk), lambda i, j, _nj=n_j: (i * _nj + j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((r_t, s_blk), lambda i, j, _nj=n_j: (i * _nj + j, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_t * s_blk, 8), remap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_t, s_blk), remap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_t, s_blk), remap, memory_space=pltpu.VMEM),
     ]
     in_specs += [full(packed[k]) for k in _W_ORDER]
     in_specs += [full(biases[k]) for k in _B_ORDER]
-    maps, weights = pl.pallas_call(
-        _make_kernel(r_t, s_blk, n_j, term_csd),
+
+    def remap_out(i, j, w, _nj=n_j):
+        # dead blocks write to a dedicated spill block past the real rows
+        # (their real rows are never written; the caller zero-masks them)
+        base = i * _nj + j
+        return (jnp.where(w[base] != 0, base, n_i * _nj), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_i, n_j),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((r_t, 128), lambda i, j: (i, 0),
+            pl.BlockSpec((r_t, 128), lambda i, j, w: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_t, s_blk), lambda i, j, _nj=n_j: (i * _nj + j, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rays, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_rays * n_j, s_blk), jnp.float32),
+            pl.BlockSpec((r_t, s_blk), remap_out, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((r_t, 1), jnp.float32),       # cumulative sigma*dist
             pltpu.VMEM((r_t, 128), jnp.float32),     # running maps
         ],
+    )
+    maps, weights = pl.pallas_call(
+        _make_kernel(r_t, s_blk, n_j, term_csd),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_rays, 128), jnp.float32),
+            jax.ShapeDtypeStruct(((n_rays + r_t) * n_j, s_blk), jnp.float32),
+        ),
         interpret=interpret,
         # predicated (@pl.when) bodies inhibit Mosaic's temp-buffer reuse;
         # the default 16M scoped-vmem cap is artificial — v5e has 128M
@@ -185,8 +217,11 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
             flops=2 * n_rays * s * 600_000,
             bytes_accessed=n_rays * s * 44,
             transcendentals=n_rays * s * 90),
-    )(flags, ptsdir, dists, z_vals,
+    )(work, ptsdir, dists, z_vals,
       *[packed[k] for k in _W_ORDER], *[biases[k] for k in _B_ORDER])
+    # rows of dead blocks were redirected to the spill block: zero them
+    weights = weights[:n_rays * n_j]
+    weights = jnp.where(jnp.repeat(work, r_t)[:, None] != 0, weights, 0.0)
     return maps, weights
 
 

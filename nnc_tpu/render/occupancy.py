@@ -11,8 +11,9 @@ reference's always-dense sampling (run_nerf.py:348-457): it is a separate
 opt-in mode; the exact path remains the default.
 
 Typical operating point (v5e-1, solid synthetic scene, 34% active rays,
-K=48 of 192 candidates): ~7x fewer MLP evaluations than the exact
-hierarchical render at sub-1e-2 rgb deviation on in-grid geometry.
+K=16 of 64 candidates with stride-subsampling for over-budget rays): ~12x
+fewer MLP evaluations than the exact hierarchical render at ~49 dB
+deviation-PSNR (max rgb dev < 0.08) on in-grid geometry.
 """
 from __future__ import annotations
 
@@ -120,30 +121,47 @@ def _lookup_coords(grid: OccupancyGrid, px, py, pz):
 def select_occupied_samples(grid: OccupancyGrid, rays_o, rays_d, near, far,
                             n_candidates: int, budget: int):
     """Uniform z candidates filtered by occupancy, compacted per ray to a
-    fixed ``budget`` (occupied candidates keep ray order; excess lowest-
-    priority ones drop). Returns (z (R, K), dists (R, K) with masked
-    entries 0, any_occupied (R,))."""
+    fixed ``budget`` (occupied candidates keep ray order; over-budget rays
+    stride-subsample — see _compact_stride). Returns (z (R, K), dists
+    (R, K) with masked entries 0, any_occupied (R,))."""
     n_rays = rays_o.shape[0]
     t = (jnp.arange(n_candidates, dtype=jnp.float32) + 0.5) / n_candidates
     z = jnp.broadcast_to(near + (far - near) * t, (n_rays, n_candidates))
     coords = [rays_o[:, d:d + 1] + rays_d[:, d:d + 1] * z for d in range(3)]
     occ = _lookup_coords(grid, *coords)               # (R, C) bool
 
-    # fixed-budget compaction, occupied candidates first in ray order:
+    keep, mask, stride = _compact_stride(occ, n_candidates, budget)
+    z_sel = jnp.take_along_axis(z, keep, axis=-1)
+    # each kept sample represents ``stride`` occupied candidate cells:
+    # integrate over stride x spacing (empty space between occupied cells has
+    # sigma ~ 0 by construction, so skipping it leaves transmittance
+    # untouched; striding is coarser quadrature over the occupied span, not
+    # dropped mass)
+    spacing = (jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n_rays, 1))
+               - near) / n_candidates
+    dists = jnp.where(mask, spacing * stride, 0.0)
+    return z_sel, dists, jnp.any(occ, axis=-1)
+
+
+def _compact_stride(occ, n_candidates: int, budget: int):
+    """Fixed-budget compaction of occupied candidates (per row of the bool
+    (R, C) mask ``occ``), keeping ray order. Rays with more occupied
+    candidates than the budget keep every ``stride``-th occupied candidate
+    (stride = ceil(m / budget)) instead of truncating the tail — each kept
+    sample then integrates over stride x spacing, preserving the occupied
+    optical mass (truncation loses the far end of grazing rays entirely).
+    Returns (keep_idx (R, B) int32, mask (R, B) bool, stride (R, 1) f32)."""
+    n = n_candidates
+    m = jnp.sum(occ, axis=-1, keepdims=True)                 # (R, 1)
+    stride = jnp.maximum((m + budget - 1) // budget, 1)      # (R, 1) int32
+    rank = jnp.cumsum(occ, axis=-1) - 1                      # rank among occ
+    kept = occ & (rank % stride == 0)
     # occupied keys (2C - i) sort descending to ascending i; empty keys
     # (-i) are all <= 0
     ci = jax.lax.broadcasted_iota(jnp.int32, occ.shape, 1)
-    key = jnp.where(occ, 2 * n_candidates - ci, -ci)
+    key = jnp.where(kept, 2 * n - ci, -ci)
     kv, keep = jax.lax.top_k(key, budget)
-    z_sel = jnp.take_along_axis(z, keep, axis=-1)
-    mask = kv > 0
-    # each sample represents one candidate cell: integrate over the
-    # candidate spacing (empty space between kept samples has sigma ~ 0 by
-    # construction, so skipping it leaves transmittance untouched)
-    spacing = (jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n_rays, 1))
-               - near) / n_candidates
-    dists = jnp.where(mask, spacing, 0.0)
-    return z_sel, dists, jnp.any(occ, axis=-1)
+    return keep, kv > 0, stride.astype(jnp.float32)
 
 
 def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
@@ -179,15 +197,12 @@ def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
         occ_d = occ_d | sh(occ_d, 1, axis) | sh(occ_d, -1, axis)
     occ_d = occ_d.reshape(Hs * Ws, n_candidates)
 
-    ci = jax.lax.broadcasted_iota(jnp.int32, occ_d.shape, 1)
-    key = jnp.where(occ_d, 2 * n_candidates - ci, -ci)
-    kv, keep = jax.lax.top_k(key, budget)             # (HsWs, B)
+    keep, mask_s, stride = _compact_stride(occ_d, n_candidates, budget)
     z_sel_s = jnp.take(z1, keep)                      # small gather
-    mask_s = kv > 0
     any_s = mask_s[:, 0]
 
     spacing = (far - near) / n_candidates
-    dists_s = jnp.where(mask_s, spacing, 0.0)
+    dists_s = jnp.where(mask_s, spacing * stride, 0.0)
 
     up = lambda a: jnp.repeat(jnp.repeat(
         a.reshape(Hs, Ws, -1), factor, 0), factor, 1).reshape(
@@ -197,8 +212,8 @@ def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
 
 
 def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
-                     grid: OccupancyGrid, rc, *, n_candidates: int = 96,
-                     budget: int = 48, layout=None, subsample: int = 4):
+                     grid: OccupancyGrid, rc, *, n_candidates: int = 64,
+                     budget: int = 16, layout=None, subsample: int = 4):
     """Occupancy-accelerated single-network render (uses the fine network's
     parameters; no hierarchical resampling — the grid already concentrates
     samples). ``layout=(H, W)`` enables tiled selection for camera frames
@@ -219,14 +234,17 @@ def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
         z, dists, any_occ = select_occupied_samples(
             grid, rays_o, rays_d, near, far, n_candidates, budget)
 
-    # sort rays so fully-empty ones cluster into skippable tiles
-    order = jnp.argsort(jnp.logical_not(any_occ), stable=True)
+    # sort rays by descending occupied-sample count: fully-empty rays
+    # cluster into tiles the kernel skips outright, and light rays cluster
+    # so their trailing all-masked sample blocks skip via the kernel's
+    # has_work predicate (samples are compacted to the front per ray)
+    order = jnp.argsort(-jnp.sum((dists > 0).astype(jnp.int32), axis=-1),
+                        stable=True)
     inv = jnp.argsort(order)
     out = fused_render_pass(
         params, ls, rays_o[order], rays_d[order], viewdirs[order], z[order],
         rc.mlp, early_term_eps=rc.early_term_eps, ray_flags=any_occ[order],
-        dists=dists[order], r_t=rc.fusion_ray_tile,
-        s_blk=rc.fusion_sample_block)
+        dists=dists[order], r_t=rc.occ_ray_tile, s_blk=rc.occ_sample_block)
     res = {k: out[k][inv] for k in ("rgb_map", "acc_map", "depth_map",
                                     "disp_map")}
     if rc.white_bkgd:
@@ -235,8 +253,8 @@ def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
 
 
 def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
-                      grid: OccupancyGrid = None, *, n_candidates: int = 96,
-                      budget: int = 48, subsample: int = 4, row_chunk=256,
+                      grid: OccupancyGrid = None, *, n_candidates: int = 64,
+                      budget: int = 16, subsample: int = 4, row_chunk=256,
                       outputs=("rgb_map", "acc_map", "depth_map",
                                "disp_map")):
     """Render a full camera frame through the occupancy fast mode.

@@ -58,6 +58,12 @@ class RenderConfig:
     # full-frame test renders (executer i_save/test paths) go through the
     # occupancy-grid fast mode (render/occupancy.py) — opt-in, lossy mode
     use_occupancy_renders: bool = False
+    # fast-mode kernel tiles differ from the exact path's: the per-ray
+    # sample budget is small (16 vs 192), so tiny sample blocks (fine
+    # skip granularity for trailing all-masked blocks) and wide ray tiles
+    # (fewer grid steps) win; 128x8 benched best on v5e
+    occ_ray_tile: int = 128
+    occ_sample_block: int = 8
 
 
 def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig,
