@@ -285,7 +285,7 @@ def compress(parameter_dict,
     with timer.stage("QUANTIZATION"):
         approx_data_enc = approximator.approx(
             ap_info.approx_info, model_info, approx_data,
-            1 if param_opt else 0, verbose=verbose)
+            1 if param_opt else 0, verbose=verbose, num_workers=num_workers)
 
     with timer.stage("ENCODING"):
         enc_info = {
@@ -334,7 +334,7 @@ def decompress(bitstream_or_path, verbose=True, return_model_information=False,
                                                num_workers=num_workers)
 
     with timer.stage("RECONSTRUCTION"):
-        approximator.rec(approx_data)
+        approximator.rec(approx_data, num_workers=num_workers)
         approximator.unfold_bn(model_info, approx_data)
         approximator.apply_lsa(model_info, approx_data)
         approx_data = approximator.recompose_params(model_info, approx_data)

@@ -329,15 +329,31 @@ def _quant_one(approx_info, approx_data, param, dq_flag, qp):
     return q, qp_out
 
 
-def uniform_approx(approx_info, model_info, approx_data_in, verbose=True):
+def uniform_approx(approx_info, model_info, approx_data_in, verbose=True,
+                   num_workers=0):
     """Uniform (optionally dependent) scalar quantization of all eligible
-    tensors. (reference: approximator/baseline.py:10-71)"""
+    tensors. (reference: approximator/baseline.py:10-71; the reference
+    quantizes serially — per-tensor RDOQ is independent and the native
+    quantLayer releases the GIL, so tensors fan out across host threads)"""
     approx_data_out = {k: copy.copy(v) for k, v in approx_data_in.items()}
-    for _par_type, param in _iter_to_approximate(approx_info, model_info,
-                                                 approx_data_in):
+    todo = list(_iter_to_approximate(approx_info, model_info,
+                                     approx_data_in))
+
+    def one(param):
         enc_qp = int(approx_info["qp"][param])
         dq_flag = int(approx_info["dq_flag"][param])
-        q, qp = _quant_one(approx_info, approx_data_in, param, dq_flag, enc_qp)
+        q, qp = _quant_one(approx_info, approx_data_in, param, dq_flag,
+                           enc_qp)
+        return param, enc_qp, dq_flag, q, qp
+
+    if num_workers and num_workers > 1 and len(todo) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            results = list(pool.map(one, [p for _, p in todo]))
+    else:
+        results = [one(p) for _, p in todo]
+
+    for param, enc_qp, dq_flag, q, qp in results:
         if qp != enc_qp and verbose:
             print(f"INFO: QP for {param} has been clipped from {enc_qp} to "
                   f"{qp} to avoid int32_t overflow!")
@@ -511,7 +527,8 @@ def codebook_rec(param, approx_data):
 # ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
-def approx(approx_info, model_info, approx_data, param_opt=0, verbose=True):
+def approx(approx_info, model_info, approx_data, param_opt=0, verbose=True,
+           num_workers=0):
     """Quantize all eligible tensors with the configured method.
     (reference: approximator:690-701)"""
     approx_data = skip_approx(approx_info, model_info, approx_data)
@@ -519,13 +536,14 @@ def approx(approx_info, model_info, approx_data, param_opt=0, verbose=True):
         approx_data, approx_info = codebook_approx(
             approx_info, model_info, approx_data, param_opt, verbose=verbose)
     return uniform_approx(approx_info, model_info, approx_data,
-                          verbose=verbose)
+                          verbose=verbose, num_workers=num_workers)
 
 
-def rec(approx_data):
+def rec(approx_data, num_workers=0):
     """Dequantize all quantized tensors in place.
-    (reference: approximator:704-721)"""
-    for param in list(approx_data["parameters"]):
+    (reference: approximator:704-721; per-tensor reconstruction is
+    independent and dequantLayer releases the GIL — fan out like approx)"""
+    def one(param):
         method = approx_data["approx_method"].get(param)
         if method == "uniform":
             uniform_rec(param, approx_data)
@@ -535,6 +553,15 @@ def rec(approx_data):
             skip_rec(param, approx_data)
         else:
             assert method is None, f"unknown approx_method {method}"
+
+    params = list(approx_data["parameters"])
+    if num_workers and num_workers > 1 and len(params) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            list(pool.map(one, params))
+    else:
+        for param in params:
+            one(param)
 
 
 # ---------------------------------------------------------------------------

@@ -227,7 +227,8 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
 
 def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
                       config: nerf.NeRFConfig, *, early_term_eps=0.0,
-                      ray_flags=None, r_t=R_TILE, s_blk=S_BLK, dists=None):
+                      ray_flags=None, r_t=R_TILE, s_blk=S_BLK, dists=None,
+                      return_weights=True):
     """Fully fused deterministic render pass with early termination.
 
     rays_*: (R, 3); z_vals: (R, S) with S % s_blk == 0. ``ray_flags``: bool
@@ -273,8 +274,12 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
                 [ray_flags, jnp.zeros((pad,), bool)])
 
     n_i, n_j = n_pad // r_t, s // s_blk
-    # block-major layouts so grid block (i, j) is a contiguous row range
-    ptsdir = ptsdir.reshape(n_i, r_t, n_j, s_blk, 8).swapaxes(1, 2) \
+    # block-major layouts so grid block (i, j) is a contiguous row range.
+    # The (s_blk, 8) trailing dims are merged BEFORE the transpose: a 5-D
+    # transpose with minor dim 8 materializes T(8,128)-padded 16x (measured:
+    # a 960 MB copy padded to 15 GB and OOMed HBM at 163840-ray chunks);
+    # with minor dim s_blk*8 the copy is 1-2x.
+    ptsdir = ptsdir.reshape(n_i, r_t, n_j, s_blk * 8).swapaxes(1, 2) \
         .reshape(n_i * n_j * r_t * s_blk, 8)
     to_bm = lambda a: a.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
         .reshape(n_i * n_j * r_t, s_blk)
@@ -295,11 +300,15 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
         packed, biases, flags, ptsdir, dists_bm, z_bm, s, r_t, s_blk,
         term_csd, interpret=interpret)
     maps = maps[:n_rays]
-    weights = weights_bm.reshape(n_i, n_j, r_t, s_blk).swapaxes(1, 2) \
-        .reshape(n_pad, s)[:n_rays]
     rgb_map = maps[:, 0:3]
     acc = maps[:, 3]
     depth = maps[:, 4]
     disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
-    return {"rgb_map": rgb_map, "acc_map": acc, "depth_map": depth,
-            "disp_map": disp, "weights": weights}
+    out = {"rgb_map": rgb_map, "acc_map": acc, "depth_map": depth,
+           "disp_map": disp}
+    if return_weights:
+        # inverse block-major transform (the copy pads minor dim s_blk);
+        # callers that never consume weights (occupancy fast mode) skip it
+        out["weights"] = weights_bm.reshape(n_i, n_j, r_t, s_blk) \
+            .swapaxes(1, 2).reshape(n_pad, s)[:n_rays]
+    return out

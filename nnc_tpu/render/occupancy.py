@@ -244,7 +244,8 @@ def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
     out = fused_render_pass(
         params, ls, rays_o[order], rays_d[order], viewdirs[order], z[order],
         rc.mlp, early_term_eps=rc.early_term_eps, ray_flags=any_occ[order],
-        dists=dists[order], r_t=rc.occ_ray_tile, s_blk=rc.occ_sample_block)
+        dists=dists[order], r_t=rc.occ_ray_tile, s_blk=rc.occ_sample_block,
+        return_weights=False)
     res = {k: out[k][inv] for k in ("rgb_map", "acc_map", "depth_map",
                                     "disp_map")}
     if rc.white_bkgd:

@@ -149,6 +149,45 @@ def test_fused_render_pass_ray_flags_skip_tiles():
     assert np.abs(np.asarray(out["weights"][32:])).max() == 0.0
 
 
+def test_fused_render_pass_masked_dists_blocks():
+    """Occupancy-mode contract: per-sample dists of 0 contribute exactly
+    nothing, trailing all-masked sample blocks are precomputed dead (their
+    inputs index-remap to block 0; weights rows spill and are zero-masked),
+    and partially-flagged tiles still compute their live rays exactly."""
+    from nnc_tpu.ops.render_pallas import fused_render_pass
+
+    mlp, params, ro, rd, vd, z = _render_fixture(96, 48)
+    flags = jnp.arange(96) < 40  # tile 0 live, tile 1 mixed, tile 2 dead
+    live = 20  # samples >= 20 are masked -> blocks 20..47 all-dead (s_blk 16)
+    dists = jnp.where(jnp.arange(48)[None, :] < live, 0.05, 0.0) \
+        * jnp.ones((96, 1))
+    out = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                            early_term_eps=0.0, ray_flags=flags,
+                            dists=dists, r_t=32, s_blk=16)
+
+    # reference with the same masked dists (alpha from sigma * dist)
+    from nnc_tpu.ops.posenc import positional_encoding
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    pe = positional_encoding(pts, 10)
+    ve = positional_encoding(jnp.broadcast_to(vd[:, None, :], pts.shape), 4)
+    raw = nerf.apply_mlp(params, pe, ve, mlp)
+    sd = jax.nn.relu(raw[..., 3]) * dists * jnp.linalg.norm(
+        rd, axis=-1, keepdims=True)
+    trans = jnp.exp(-jnp.cumsum(
+        jnp.concatenate([jnp.zeros((96, 1)), sd[:, :-1]], axis=1), axis=1))
+    w_ref = (1.0 - jnp.exp(-sd)) * trans
+    rgb_ref = jnp.sum(w_ref[..., None] * jax.nn.sigmoid(raw[..., :3]),
+                      axis=1)
+
+    np.testing.assert_allclose(np.asarray(out["rgb_map"][:64]),
+                               np.asarray(rgb_ref[:64]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["weights"][:64]),
+                               np.asarray(w_ref[:64]), atol=1e-5)
+    # masked samples carry exactly zero weight; dead tile is all zero
+    assert np.abs(np.asarray(out["weights"][:, live:])).max() == 0.0
+    assert np.abs(np.asarray(out["rgb_map"][64:])).max() == 0.0
+
+
 def test_renderer_culled_fused_path_matches_exact():
     """render_rays with use_fused_compositing + empty-ray culling + early
     termination stays within threshold-bounded error of the exact XLA path

@@ -54,6 +54,48 @@ def test_fast_render_matches_exact_on_solid_scene():
     assert da.max() < 0.05, da.max()
 
 
+def test_compact_stride_preserves_occupied_mass():
+    """Over-budget rays stride-subsample occupied candidates; the kept
+    samples' dist scaling preserves the occupied span's optical mass to
+    within one stride (truncation would drop m - budget cells outright)."""
+    rng = np.random.default_rng(0)
+    occ = jnp.asarray(rng.random((8, 64)) < 0.6)  # m ~ 38 >> budget
+    keep, mask, stride = occupancy._compact_stride(occ, 64, 16)
+    m = np.asarray(jnp.sum(occ, axis=-1))
+    covered = np.asarray(jnp.sum(mask, axis=-1)) * np.asarray(stride[:, 0])
+    assert (np.asarray(jnp.sum(mask, axis=-1)) <= 16).all()
+    assert (covered >= m).all() and (covered < m + np.asarray(
+        stride[:, 0])).all()
+    # kept indices are occupied candidates, in ray order
+    keep_np, mask_np = np.asarray(keep), np.asarray(mask)
+    occ_np = np.asarray(occ)
+    for r in range(8):
+        kept = keep_np[r][mask_np[r]]
+        assert occ_np[r][kept].all()
+        assert (np.diff(kept) > 0).all()
+
+
+def test_fast_render_over_budget_stride_parity():
+    """A budget far below the occupied span stays sound (no truncated far
+    mass), only coarser quadrature: parity within a loosened tolerance."""
+    mlp, params, ro, rd, vd = _setup()
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False, early_term_eps=0.0)
+    key = jax.random.PRNGKey(0)
+    exact = renderer.render_rays(params, None, None, None, ro, rd, vd,
+                                 2.0, 6.0, key, rc, deterministic=True)
+    fast = occupancy.render_rays_fast(params, None, ro, rd, vd, 2.0, 6.0,
+                                      grid, rc, n_candidates=64, budget=8)
+    d = np.abs(np.asarray(fast["rgb_map"]) - np.asarray(exact["rgb_map"]))
+    da = np.abs(np.asarray(fast["acc_map"]) - np.asarray(exact["acc_map"]))
+    # the solid object's occupied span is ~25-30 of 64 candidates: budget 8
+    # forces stride 3-4 on the central rays
+    assert d.max() < 0.15, d.max()
+    assert da.max() < 0.15, da.max()
+
+
 def test_fast_render_empty_rays_zero():
     mlp, params, ro, rd, vd = _setup()
     grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,

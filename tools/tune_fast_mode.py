@@ -19,6 +19,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--hw", type=int, nargs=2, default=(160, 256))
     ap.add_argument("--floor", action="store_true")
+    ap.add_argument("--no-exact", action="store_true",
+                    help="skip the exact reference render (frames too big "
+                         "for the exact path's HBM footprint): timing only")
     ap.add_argument("--points", type=str, default=None,
                     help="comma list of C:B:sub[:s_blk] tuples, "
                          "e.g. 96:48:4,96:24:4:8")
@@ -55,17 +58,20 @@ def main():
         early_term_eps=1e-4, empty_ray_eps=1e-3)
 
     # exact reference frame (+ exact-path timing for context)
-    run_exact = lambda: renderer.render_chunk(
-        params_c, params_f, None, None, rays_o, rays_d, 2.0, 6.0, key, rc,
-        True)
-    out = run_exact()
-    ref = np.asarray(out["rgb_map"])
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
+    if args.no_exact:
+        ref = None
+    else:
+        run_exact = lambda: renderer.render_chunk(
+            params_c, params_f, None, None, rays_o, rays_d, 2.0, 6.0, key,
+            rc, True)
         out = run_exact()
-    np.asarray(jnp.sum(out["rgb_map"]))
-    dt = (time.perf_counter() - t0) / args.iters
-    print(f"exact: {dt * 1e3:7.2f} ms  ({chunk / dt:,.0f} rays/s)")
+        ref = np.asarray(out["rgb_map"])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = run_exact()
+        np.asarray(jnp.sum(out["rgb_map"]))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"exact: {dt * 1e3:7.2f} ms  ({chunk / dt:,.0f} rays/s)")
 
     grid = occupancy.build_occupancy_grid(params_c, None, mlp, res=128)
     occ_frac = float(np.asarray(jnp.mean(grid.occ.astype(jnp.float32))))
@@ -103,9 +109,13 @@ def main():
                   f"rt={r_t:2d} FLOOR(empty grid): {dt * 1e3:7.2f} ms",
                   flush=True)
         out_f = run_fast(rays_o, rays_d, vd, grid)
-        rgb = np.asarray(out_f["rgb_map"])
-        dev = np.abs(rgb - ref)
-        dev_psnr = -10 * np.log10(np.mean(dev ** 2) + 1e-12)
+        if ref is not None:
+            rgb = np.asarray(out_f["rgb_map"])
+            dev = np.abs(rgb - ref)
+            dev_psnr = -10 * np.log10(np.mean(dev ** 2) + 1e-12)
+            qual = (f"  maxdev {dev.max():.4f}  devPSNR {dev_psnr:.1f} dB")
+        else:
+            qual = ""
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out_f = run_fast(rays_o, rays_d, vd, grid)
@@ -113,8 +123,7 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         print(f"C={cand:3d} B={budget:2d} sub={sub} sblk={s_blk:2d} "
               f"rt={r_t:2d}: "
-              f"{dt * 1e3:7.2f} ms  ({chunk / dt:,.0f} rays/s)  "
-              f"maxdev {dev.max():.4f}  devPSNR {dev_psnr:.1f} dB",
+              f"{dt * 1e3:7.2f} ms  ({chunk / dt:,.0f} rays/s)" + qual,
               flush=True)
 
 
