@@ -116,9 +116,14 @@ def _make_kernel(r_t, s_blk, n_j, term_csd):
         @pl.when(active)
         def _():
             half = r_t // 2
+            # input arrives transposed (8, r_t*s_blk) — lane-dense in HBM
+            # (a (T, 8) block pads 8 -> 128 lanes and costs 16x the DMA
+            # bytes; measured ~0.6 ms/frame at the bench operating point).
+            # One in-kernel transpose restores the samples-major layout.
+            x8 = ptsdir_ref[:].T
             # two independent half-tile chains interleave MXU/VPU work
-            raw0 = _mlp_body_pts(ptsdir_ref[:half * s_blk], mlp_refs, dtype)
-            raw1 = _mlp_body_pts(ptsdir_ref[half * s_blk:], mlp_refs, dtype)
+            raw0 = _mlp_body_pts(x8[:half * s_blk], mlp_refs, dtype)
+            raw1 = _mlp_body_pts(x8[half * s_blk:], mlp_refs, dtype)
             m0, w0, c0 = _composite_block(
                 raw0, dists_ref[:half], z_ref[:half], csd_ref[:half],
                 half, s_blk)
@@ -170,11 +175,16 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i, j, w: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
+    def remap_T(i, j, w, _nj=n_j):
+        base = i * _nj + j
+        return (0, jnp.where(w[base] != 0, base, 0))
+
     in_specs = [
-        # inputs/outputs sliced per (ray tile, sample block) use a
-        # block-major layout (lane width == s_blk) because Mosaic requires
-        # lane blocks to be 128-divisible or whole-array
-        pl.BlockSpec((r_t * s_blk, 8), remap, memory_space=pltpu.VMEM),
+        # ptsdir is transposed (8, M): 8 feature rows, block-major samples
+        # on lanes (lane blocks of r_t*s_blk are 128-divisible). dists/z
+        # use a block-major layout (lane width == s_blk) because Mosaic
+        # requires lane blocks to be 128-divisible or whole-array
+        pl.BlockSpec((8, r_t * s_blk), remap_T, memory_space=pltpu.VMEM),
         pl.BlockSpec((r_t, s_blk), remap, memory_space=pltpu.VMEM),
         pl.BlockSpec((r_t, s_blk), remap, memory_space=pltpu.VMEM),
     ]
@@ -252,11 +262,6 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     else:
         dists = dists * dnorm
 
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
-    vd = jnp.broadcast_to(viewdirs[:, None, :], pts.shape)
-    ptsdir = jnp.concatenate(
-        [pts, vd, jnp.zeros(pts.shape[:-1] + (2,), jnp.float32)], axis=-1)
-
     dtype = jnp.bfloat16 if config.compute_dtype == jnp.bfloat16 \
         else jnp.float32
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -265,8 +270,9 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     n_pad = ((n_rays + r_t - 1) // r_t) * r_t
     if n_pad != n_rays:
         pad = n_pad - n_rays
-        ptsdir = jnp.concatenate(
-            [ptsdir, jnp.zeros((pad,) + ptsdir.shape[1:], jnp.float32)])
+        zr3 = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad, 3), jnp.float32)])
+        rays_o, rays_d, viewdirs = zr3(rays_o), zr3(rays_d), zr3(viewdirs)
         dists = jnp.concatenate([dists, jnp.ones((pad, s), jnp.float32)])
         z_vals = jnp.concatenate([z_vals, jnp.ones((pad, s), jnp.float32)])
         if ray_flags is not None:
@@ -274,13 +280,28 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
                 [ray_flags, jnp.zeros((pad,), bool)])
 
     n_i, n_j = n_pad // r_t, s // s_blk
-    # block-major layouts so grid block (i, j) is a contiguous row range.
-    # The (s_blk, 8) trailing dims are merged BEFORE the transpose: a 5-D
-    # transpose with minor dim 8 materializes T(8,128)-padded 16x (measured:
-    # a 960 MB copy padded to 15 GB and OOMed HBM at 163840-ray chunks);
-    # with minor dim s_blk*8 the copy is 1-2x.
-    ptsdir = ptsdir.reshape(n_i, r_t, n_j, s_blk * 8).swapaxes(1, 2) \
-        .reshape(n_i * n_j * r_t * s_blk, 8)
+    n_sample = n_pad * s
+    # The MLP input goes to HBM transposed — (8 feature rows, block-major
+    # samples on lanes) — because an (M, 8) layout pads 8 -> 128 lanes in
+    # HBM (16x the bytes on both the producer write and every block DMA;
+    # a 5-D transpose building it also materialized 16x-padded, OOMing HBM
+    # at 163840-ray chunks). All producer arithmetic runs directly in the
+    # transposed space with the minor (ray, sample) pair merged as
+    # r_t*s_blk so every intermediate stays lane-dense.
+    q = r_t * s_blk
+    z_q = z_vals.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
+        .reshape(n_i, n_j, q)
+
+    def expand(col):   # (n_pad,) per-ray value -> (n_i, n_j, q)
+        cq = jnp.repeat(col.reshape(n_i, r_t), s_blk, axis=1)
+        return jnp.broadcast_to(cq[:, None, :], (n_i, n_j, q))
+
+    rows = [expand(rays_o[:, d]) + expand(rays_d[:, d]) * z_q
+            for d in range(3)]
+    rows += [expand(viewdirs[:, d]) for d in range(3)]
+    rows += [jnp.zeros((n_i, n_j, q), jnp.float32)] * 2
+    ptsdir = jnp.stack(rows).reshape(8, n_sample)
+
     to_bm = lambda a: a.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
         .reshape(n_i * n_j * r_t, s_blk)
     dists_bm = to_bm(dists)
