@@ -235,10 +235,20 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
     return maps, weights
 
 
+def unpack_maps(maps):
+    """Split packed per-ray maps (R, 128) into the render output dict."""
+    rgb_map = maps[:, 0:3]
+    acc = maps[:, 3]
+    depth = maps[:, 4]
+    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
+    return {"rgb_map": rgb_map, "acc_map": acc, "depth_map": depth,
+            "disp_map": disp}
+
+
 def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
                       config: nerf.NeRFConfig, *, early_term_eps=0.0,
                       ray_flags=None, r_t=R_TILE, s_blk=S_BLK, dists=None,
-                      return_weights=True):
+                      return_weights=True, raw_maps=False):
     """Fully fused deterministic render pass with early termination.
 
     rays_*: (R, 3); z_vals: (R, S) with S % s_blk == 0. ``ray_flags``: bool
@@ -246,7 +256,10 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     the caller substitutes). ``dists`` overrides the per-sample integration
     span (occupancy-grid sampling passes masked candidate spacings; entries
     of 0 contribute exactly nothing). Returns dict(rgb_map, acc_map,
-    depth_map, disp_map, weights)."""
+    depth_map, disp_map, weights); with ``raw_maps`` the packed per-ray
+    maps (R, 128) [rgb, acc, depth, 0...] are returned instead of the
+    sliced maps — callers that reorder rays permute the single packed
+    array (one gather) rather than four."""
     n_rays, s = z_vals.shape
     # half-tiles below 16 sublanes miscompile on Mosaic (CLAUDE.md), so the
     # two interleaved chains need r_t to be a multiple of 32
@@ -321,12 +334,10 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
         packed, biases, flags, ptsdir, dists_bm, z_bm, s, r_t, s_blk,
         term_csd, interpret=interpret)
     maps = maps[:n_rays]
-    rgb_map = maps[:, 0:3]
-    acc = maps[:, 3]
-    depth = maps[:, 4]
-    disp = 1.0 / jnp.maximum(1e-10, depth / jnp.maximum(acc, 1e-10))
-    out = {"rgb_map": rgb_map, "acc_map": acc, "depth_map": depth,
-           "disp_map": disp}
+    if raw_maps:
+        out = {"maps": maps}
+    else:
+        out = unpack_maps(maps)
     if return_weights:
         # inverse block-major transform (the copy pads minor dim s_blk);
         # callers that never consume weights (occupancy fast mode) skip it

@@ -164,16 +164,17 @@ def _compact_stride(occ, n_candidates: int, budget: int):
     return keep, kv > 0, stride.astype(jnp.float32)
 
 
-def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
-                                  far, n_candidates: int, budget: int,
-                                  layout, factor: int = 4):
-    """Tiled candidate selection for camera frames: the occupancy sweep and
+def _select_sub(grid: OccupancyGrid, rays_o, rays_d, near, far,
+                n_candidates: int, budget: int, layout, factor: int):
+    """Subsampled-raster candidate selection core: the occupancy sweep and
     top-k compaction run on a ``factor``-subsampled ray raster (``layout`` =
-    (H, W) of the flat ray array) and each factor x factor pixel block
-    shares its (conservatively dilated) selection. TPU gathers cost ~9ns per
+    (H, W) of the flat ray array); each factor x factor pixel block shares
+    its (conservatively dilated) selection. TPU gathers cost ~9ns per
     element, so per-ray sweeps (R x C lookups) dominate the whole fast
     render; tiling cuts them by factor^2 (16x) while each ray still
-    integrates the density at its own sample positions."""
+    integrates the density at its own sample positions. Returns
+    (z (Hs*Ws, B), dists (Hs*Ws, B), any_occupied (Hs*Ws,)) at the
+    subsampled-block level."""
     H, W = layout
     n_rays = rays_o.shape[0]
     assert n_rays == H * W and H % factor == 0 and W % factor == 0
@@ -203,7 +204,21 @@ def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
 
     spacing = (far - near) / n_candidates
     dists_s = jnp.where(mask_s, spacing * stride, 0.0)
+    return z_sel_s, dists_s, any_s
 
+
+def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
+                                  far, n_candidates: int, budget: int,
+                                  layout, factor: int = 4):
+    """Per-ray view of _select_sub: upsamples the shared block selection
+    back to the full ray raster (kept for callers/tests that want per-ray
+    arrays; render_rays_fast uses the subsampled level directly)."""
+    H, W = layout
+    n_rays = rays_o.shape[0]
+    Hs, Ws = H // factor, W // factor
+    z_sel_s, dists_s, any_s = _select_sub(
+        grid, rays_o, rays_d, near, far, n_candidates, budget, layout,
+        factor)
     up = lambda a: jnp.repeat(jnp.repeat(
         a.reshape(Hs, Ws, -1), factor, 0), factor, 1).reshape(
         n_rays, -1)
@@ -227,30 +242,91 @@ def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
                                or layout[0] * layout[1] != n_rays):
         layout = None  # fall back to per-ray selection
     if layout is not None:
-        z, dists, any_occ = select_occupied_samples_tiled(
-            grid, rays_o, rays_d, near, far, n_candidates, budget, layout,
-            subsample)
+        res = _render_tiled_sorted(params, ls, rays_o, rays_d, viewdirs,
+                                   near, far, grid, rc, n_candidates,
+                                   budget, layout, subsample)
     else:
         z, dists, any_occ = select_occupied_samples(
             grid, rays_o, rays_d, near, far, n_candidates, budget)
-
-    # sort rays by descending occupied-sample count: fully-empty rays
-    # cluster into tiles the kernel skips outright, and light rays cluster
-    # so their trailing all-masked sample blocks skip via the kernel's
-    # has_work predicate (samples are compacted to the front per ray)
-    order = jnp.argsort(-jnp.sum((dists > 0).astype(jnp.int32), axis=-1),
-                        stable=True)
-    inv = jnp.argsort(order)
-    out = fused_render_pass(
-        params, ls, rays_o[order], rays_d[order], viewdirs[order], z[order],
-        rc.mlp, early_term_eps=rc.early_term_eps, ray_flags=any_occ[order],
-        dists=dists[order], r_t=rc.occ_ray_tile, s_blk=rc.occ_sample_block,
-        return_weights=False)
-    res = {k: out[k][inv] for k in ("rgb_map", "acc_map", "depth_map",
-                                    "disp_map")}
+        # sort rays by descending occupied-sample count: fully-empty rays
+        # cluster into tiles the kernel skips outright, and light rays
+        # cluster so their trailing all-masked sample blocks skip via the
+        # kernel's has_work predicate (samples are compacted per ray)
+        order = jnp.argsort(
+            -jnp.sum((dists > 0).astype(jnp.int32), axis=-1), stable=True)
+        inv = jnp.argsort(order)
+        out = fused_render_pass(
+            params, ls, rays_o[order], rays_d[order], viewdirs[order],
+            z[order], rc.mlp, early_term_eps=rc.early_term_eps,
+            ray_flags=any_occ[order], dists=dists[order],
+            r_t=rc.occ_ray_tile, s_blk=rc.occ_sample_block,
+            return_weights=False)
+        res = {k: out[k][inv] for k in ("rgb_map", "acc_map", "depth_map",
+                                        "disp_map")}
     if rc.white_bkgd:
         res["rgb_map"] = res["rgb_map"] + (1.0 - res["acc_map"][..., None])
     return res
+
+
+def _render_tiled_sorted(params, ls, rays_o, rays_d, viewdirs, near, far,
+                         grid, rc, n_candidates, budget, layout, subsample):
+    """Frame fast path: block-level sort + arithmetic permutations.
+
+    Gather instructions cost ~9-12 ns each on TPU regardless of row width,
+    so the ray sort is done on the subsampled selection blocks (Hs*Ws keys
+    instead of R) and both the permutation and its inverse are *expanded
+    arithmetically* (all rays of a block share its selection). Exactly two
+    R-sized gathers remain: packed ray attributes in, packed maps out —
+    versus ten for the generic per-ray path (measured ~1.5 ms/frame at the
+    bench operating point)."""
+    from ..ops.render_pallas import fused_render_pass, unpack_maps
+
+    H, W = layout
+    fac = subsample
+    Hs, Ws = H // fac, W // fac
+    nb = fac * fac
+    n_rays = H * W
+
+    z_s, dists_s, any_s = _select_sub(
+        grid, rays_o, rays_d, near, far, n_candidates, budget, layout, fac)
+
+    # sort selection blocks by descending occupied count (ties keep raster
+    # order); rays inherit their block's position
+    counts = jnp.sum((dists_s > 0).astype(jnp.int32), axis=-1)
+    order_s = jnp.argsort(-counts, stable=True)       # (Hs*Ws,)
+    pos_s = jnp.argsort(order_s)                      # inverse, (Hs*Ws,)
+
+    # kernel row k*nb + o holds ray (by*fac + o//fac, bx*fac + o%fac) of
+    # block order_s[k]
+    by, bx = order_s // Ws, order_s % Ws
+    offs = (jnp.arange(fac)[:, None] * W + jnp.arange(fac)[None, :]) \
+        .reshape(-1)                                  # (nb,) flat offsets
+    ray_idx = ((by * fac * W + bx * fac)[:, None] + offs[None, :]) \
+        .reshape(-1)                                  # (R,)
+
+    rays9 = jnp.concatenate(
+        [rays_o, rays_d, viewdirs], axis=1)           # (R, 9)
+    rays9_s = jnp.take(rays9, ray_idx, axis=0)        # big gather #1
+    expand_rows = lambda a: jnp.repeat(a[order_s], nb, axis=0)
+    z_sorted = expand_rows(z_s)
+    dists_sorted = expand_rows(dists_s)
+    any_sorted = jnp.repeat(any_s[order_s], nb)
+
+    out = fused_render_pass(
+        params, ls, rays9_s[:, 0:3], rays9_s[:, 3:6], rays9_s[:, 6:9],
+        z_sorted, rc.mlp, early_term_eps=rc.early_term_eps,
+        ray_flags=any_sorted, dists=dists_sorted, r_t=rc.occ_ray_tile,
+        s_blk=rc.occ_sample_block, return_weights=False, raw_maps=True)
+
+    # inverse permutation, gather-free expansion: ray r of block b sits at
+    # kernel row pos_s[b]*nb + slot(r); pos_s upsamples over the raster
+    pos_up = jnp.repeat(jnp.repeat(pos_s.reshape(Hs, Ws), fac, 0), fac, 1) \
+        .reshape(n_rays)
+    iota = jnp.arange(n_rays)
+    slot = (iota // W % fac) * fac + iota % W % fac
+    k = pos_up * nb + slot
+    maps = jnp.take(out["maps"], k, axis=0)           # big gather #2
+    return unpack_maps(maps)
 
 
 def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
