@@ -85,10 +85,12 @@ def _composite_block(raw, dists_blk, z_blk, csd_in, h, s):
     return maps_add, w, excl[:, s - 1:s] + sd[:, s - 1:s]
 
 
-def _make_kernel(r_t, s_blk, n_j, term_csd):
+def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True):
     def kernel(work_ref, ptsdir_ref, dists_ref, z_ref, *refs):
-        mlp_refs = refs[:-4]
-        maps_ref, w_ref = refs[-4], refs[-3]
+        n_out = 4 if want_weights else 3
+        mlp_refs = refs[:-n_out]
+        maps_ref = refs[-n_out]
+        w_ref = refs[-3] if want_weights else None
         csd_ref, acc_ref = refs[-2], refs[-1]
         dtype = mlp_refs[0].dtype
         j = pl.program_id(1)
@@ -132,14 +134,16 @@ def _make_kernel(r_t, s_blk, n_j, term_csd):
                 r_t - half, s_blk)
             acc_ref[:half] = acc_ref[:half] + m0
             acc_ref[half:] = acc_ref[half:] + m1
-            w_ref[:half] = w0
-            w_ref[half:] = w1
+            if want_weights:
+                w_ref[:half] = w0
+                w_ref[half:] = w1
             csd_ref[:half] = csd_ref[:half] + c0
             csd_ref[half:] = csd_ref[half:] + c1
 
-        @pl.when(jnp.logical_not(active))
-        def _():
-            w_ref[:] = jnp.zeros_like(w_ref)
+        if want_weights:
+            @pl.when(jnp.logical_not(active))
+            def _():
+                w_ref[:] = jnp.zeros_like(w_ref)
 
         @pl.when(j == n_j - 1)
         def _():
@@ -150,9 +154,10 @@ def _make_kernel(r_t, s_blk, n_j, term_csd):
 
 @functools.partial(jax.jit,
                    static_argnames=("s", "r_t", "s_blk", "term_csd",
-                                    "interpret"))
+                                    "interpret", "want_weights"))
 def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
-                          r_t, s_blk, term_csd, interpret=False):
+                          r_t, s_blk, term_csd, interpret=False,
+                          want_weights=True):
     # dists/z_vals arrive block-major: (n_i * n_j * r_t, s_blk)
     n_i = flags.shape[0]
     n_rays = n_i * r_t
@@ -197,27 +202,26 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
         base = i * _nj + j
         return (jnp.where(w[base] != 0, base, n_i * _nj), 0)
 
+    maps_spec = pl.BlockSpec((r_t, 128), lambda i, j, w: (i, 0),
+                             memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((r_t, s_blk), remap_out, memory_space=pltpu.VMEM)
+    maps_shape = jax.ShapeDtypeStruct((n_rays, 128), jnp.float32)
+    w_shape = jax.ShapeDtypeStruct(((n_rays + r_t) * n_j, s_blk),
+                                   jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_i, n_j),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((r_t, 128), lambda i, j, w: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_t, s_blk), remap_out, memory_space=pltpu.VMEM),
-        ),
+        out_specs=(maps_spec, w_spec) if want_weights else (maps_spec,),
         scratch_shapes=[
             pltpu.VMEM((r_t, 1), jnp.float32),       # cumulative sigma*dist
             pltpu.VMEM((r_t, 128), jnp.float32),     # running maps
         ],
     )
-    maps, weights = pl.pallas_call(
-        _make_kernel(r_t, s_blk, n_j, term_csd),
+    outs = pl.pallas_call(
+        _make_kernel(r_t, s_blk, n_j, term_csd, want_weights),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_rays, 128), jnp.float32),
-            jax.ShapeDtypeStruct(((n_rays + r_t) * n_j, s_blk), jnp.float32),
-        ),
+        out_shape=(maps_shape, w_shape) if want_weights else (maps_shape,),
         interpret=interpret,
         # predicated (@pl.when) bodies inhibit Mosaic's temp-buffer reuse;
         # the default 16M scoped-vmem cap is artificial — v5e has 128M
@@ -229,6 +233,9 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
             transcendentals=n_rays * s * 90),
     )(work, ptsdir, dists, z_vals,
       *[packed[k] for k in _W_ORDER], *[biases[k] for k in _B_ORDER])
+    if not want_weights:
+        return outs[0], None
+    maps, weights = outs
     # rows of dead blocks were redirected to the spill block: zero them
     weights = weights[:n_rays * n_j]
     weights = jnp.where(jnp.repeat(work, r_t)[:, None] != 0, weights, 0.0)
@@ -332,7 +339,7 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
 
     maps, weights_bm = _fused_render_et_call(
         packed, biases, flags, ptsdir, dists_bm, z_bm, s, r_t, s_blk,
-        term_csd, interpret=interpret)
+        term_csd, interpret=interpret, want_weights=return_weights)
     maps = maps[:n_rays]
     if raw_maps:
         out = {"maps": maps}
