@@ -111,19 +111,25 @@ def bench_train(jax, jnp):
     vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
     tgt = jax.random.uniform(jax.random.fold_in(key, 2), (n, 3))
 
-    optimizer = optax.adam(1e-4)
-    opt_state = optimizer.init(scales)
-    step = lsa.make_train_step(rc, optimizer)
-    sc, st = scales, opt_state
-    sc, st, loss, _ = step(sc, st, params, ro, rd, vd, tgt, 2.0, 6.0, key)
-    _ = float(loss)
-    iters = 30
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    def run(grid):
+        optimizer = optax.adam(1e-4)
+        opt_state = optimizer.init(scales)
+        step = lsa.make_train_step(rc, optimizer, grid=grid, occ_budget=32)
+        sc, st = scales, opt_state
         sc, st, loss, _ = step(sc, st, params, ro, rd, vd, tgt, 2.0, 6.0,
                                key)
-    _ = float(loss)
-    return (time.perf_counter() - t0) / iters
+        _ = float(loss)
+        iters = 30
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sc, st, loss, _ = step(sc, st, params, ro, rd, vd, tgt, 2.0,
+                                   6.0, key)
+        _ = float(loss)
+        return (time.perf_counter() - t0) / iters
+
+    from nnc_tpu.render import occupancy
+    grid = occupancy.build_occupancy_grid(params[1], None, mlp)
+    return run(None), run(grid)
 
 
 def bench_codec():
@@ -157,7 +163,8 @@ def main():
     import jax.numpy as jnp
 
     rays_per_sec, active, fast_rps, fast_dev = bench_render(jax, jnp)
-    train_ms = bench_train(jax, jnp) * 1e3
+    train_s, occ_train_s = bench_train(jax, jnp)
+    train_ms, occ_train_ms = train_s * 1e3, occ_train_s * 1e3
     enc_mbps, dec_mbps, ratio = bench_codec()
 
     # headline: the production render mode (occupancy-grid accelerated,
@@ -176,6 +183,9 @@ def main():
             "occupancy_fast_mode_max_rgb_dev": round(fast_dev, 4),
             "lsa_train_step_ms_nrand1024": round(train_ms, 2),
             "lsa_train_rays_per_sec": round(1024 / (train_ms / 1e3), 1),
+            "lsa_occ_train_step_ms_nrand1024": round(occ_train_ms, 2),
+            "lsa_occ_train_rays_per_sec": round(
+                1024 / (occ_train_ms / 1e3), 1),
             "codec_encode_MBps": round(enc_mbps, 2),
             "codec_decode_MBps": round(dec_mbps, 2),
             "compression_ratio_qp20": round(ratio, 4),

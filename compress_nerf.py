@@ -52,6 +52,7 @@ def main(args):
         scene=scene,
         use_fused_mlp=args.use_fused_mlp,
         occupancy_renders=args.occupancy_renders,
+        occupancy_tuning=args.occupancy_tuning,
         num_workers=args.num_workers)
 
     nnc_tpu.decompress_model(path_dict["bitstream"],
@@ -91,6 +92,11 @@ def build_parser():
                         ("1", "true", "yes"), default=False,
                         help="Route i_save/test full-frame renders through "
                              "the occupancy-grid fast mode (lossy, ~4x).")
+    parser.add_argument("--occupancy_tuning", type=lambda s: s.lower() in
+                        ("1", "true", "yes"), default=False,
+                        help="LSA tuning integrates grid-selected samples "
+                             "instead of the dense hierarchical sweep "
+                             "(~3x faster steps, slightly lossy objective).")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Host threads for parallel NDU encode/decode.")
     return parser

@@ -86,7 +86,8 @@ def compress_model(model_path_or_object,
                    mlp_config=None,
                    mesh=None,
                    use_fused_mlp=False,
-                   occupancy_renders=False):
+                   occupancy_renders=False,
+                   occupancy_tuning=False):
     """Compress a model (torch module, state dict, flat numpy dict, or file
     path) into an NNR bitstream. (reference: nnc/compression.py:74-315)"""
     from .framework import tf_io, torch_io
@@ -143,10 +144,14 @@ def compress_model(model_path_or_object,
             learning_rate_decay=learning_rate_decay, n_iters=N_iters,
             i_save=i_save, mlp_config=mlp_config, mesh=mesh,
             use_fused_mlp=use_fused_mlp, verbose=verbose)
-        if occupancy_renders:
+        if occupancy_renders or occupancy_tuning:
             import dataclasses
             model_executer.rc = dataclasses.replace(
-                model_executer.rc, use_occupancy_renders=True)
+                model_executer.rc,
+                use_occupancy_renders=occupancy_renders
+                or model_executer.rc.use_occupancy_renders,
+                use_occupancy_tuning=occupancy_tuning
+                or model_executer.rc.use_occupancy_tuning)
 
     result = compress(
         parameters,

@@ -218,9 +218,24 @@ class NeRFModelExecuter(ModelExecute):
             if spiral_frames is not None:
                 write_video(f"step{step}_spiral_rgb", spiral_frames)
 
+        # occupancy-accelerated tuning (opt-in): selection grid built once
+        # from the quantized fine network (the geometry LSA corrects is
+        # channel-scale error — occupancy barely moves, and the dilated
+        # grid is conservative). Same gating as the fast test renders.
+        occ_grid = None
+        if self.rc.use_occupancy_tuning and not scene.get("ndc", False):
+            from ..ops.mlp_pallas import supports
+            if supports(self.rc.mlp):
+                from ..render import occupancy
+                aabb = scene.get("aabb", ((-2.0,) * 3, (2.0,) * 3))
+                occ_grid = occupancy.build_occupancy_grid(
+                    params_f if params_f is not None else params_c,
+                    ls_f if params_f is not None else ls_c, self.rc.mlp,
+                    lo=tuple(aabb[0]), hi=tuple(aabb[1]))
+
         ls_c, ls_f, mean_psnr, mean_loss, _, biases = lsa.tune_lsa_scales(
             params_c, params_f, ls_c, ls_f, batcher, self.rc,
-            scene["near"], scene["far"],
+            scene["near"], scene["far"], grid=occ_grid,
             learning_rate=self.learning_rate,
             learning_rate_decay=self.learning_rate_decay,
             epochs=self.epochs, n_iters=self.n_iters, i_save=self.i_save,

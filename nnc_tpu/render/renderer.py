@@ -58,6 +58,11 @@ class RenderConfig:
     # full-frame test renders (executer i_save/test paths) go through the
     # occupancy-grid fast mode (render/occupancy.py) — opt-in, lossy mode
     use_occupancy_renders: bool = False
+    # LSA tuning integrates grid-selected samples instead of the 64+192
+    # hierarchical sweep (~3x faster steps; see train/lsa.py
+    # double_mse_loss_occ) — opt-in, deviates from the exact objective by
+    # the fast mode's own rendering deviation
+    use_occupancy_tuning: bool = False
     # fast-mode kernel tiles differ from the exact path's: the per-ray
     # sample budget is small (16 vs 192), so tiny sample blocks (fine
     # skip granularity for trailing all-masked blocks) and wide ray tiles

@@ -9,15 +9,18 @@ import jax.numpy as jnp
 
 
 def raw2outputs(raw, z_vals, rays_d, raw_noise_std=0.0, white_bkgd=False,
-                noise_key=None):
+                noise_key=None, dists=None):
     """Composite raw predictions along rays.
 
-    raw: (R, S, 4); z_vals: (R, S); rays_d: (R, 3).
+    raw: (R, S, 4); z_vals: (R, S); rays_d: (R, 3). ``dists`` overrides the
+    per-sample integration span (occupancy-selected sampling passes masked
+    candidate spacings; entries of 0 contribute exactly nothing).
     Returns dict(rgb_map, disp_map, acc_map, weights, depth_map).
     """
-    dists = z_vals[..., 1:] - z_vals[..., :-1]
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1)
+    if dists is None:
+        dists = z_vals[..., 1:] - z_vals[..., :-1]
+        dists = jnp.concatenate(
+            [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1)
     dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
 
     rgb = jax.nn.sigmoid(raw[..., :3])

@@ -53,14 +53,72 @@ def double_mse_loss(scales, params, rays_o, rays_d, viewdirs, target, near,
     return loss, img_loss
 
 
-def make_train_step(rc: renderer.RenderConfig, optimizer):
-    """Build the jitted LSA train step."""
+def double_mse_loss_occ(scales, params, rays_o, rays_d, viewdirs, target,
+                        near, far, key, rc: renderer.RenderConfig, grid,
+                        n_candidates: int = 64, budget: int = 32):
+    """Occupancy-accelerated LSA loss (opt-in fast path).
+
+    Both networks render only grid-selected samples (a fixed per-ray budget
+    drawn from occupied voxels; render/occupancy.py) instead of the 64+192
+    hierarchical sweep — ~4x fewer MLP evaluations per step. Selection runs
+    under stop_gradient on the frozen quantized geometry; both the coarse
+    and fine networks integrate the SAME selected z (so both scale sets
+    receive gradients, preserving the reference's double-MSE structure,
+    run_nerf.py:741-752). The objective deviates from the exact
+    hierarchical render by the fast mode's own deviation (~49 dB on solid
+    scenes) — far below the ~30 dB operating point LSA tunes at."""
+    if isinstance(scales, dict):
+        ls_c, ls_f = scales["ls"]
+        b_c, b_f = scales["b"]
+        params_c = {n: {"w": p["w"], "b": b_c[n]}
+                    for n, p in params[0].items()}
+        params_f = {n: {"w": p["w"], "b": b_f[n]}
+                    for n, p in params[1].items()}
+    else:
+        ls_c, ls_f = scales
+        params_c, params_f = params
+    if viewdirs is None:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    from ..render import occupancy, volume
+    z, dists, _ = occupancy.select_occupied_samples(
+        grid, rays_o, rays_d, near, far, n_candidates, budget)
+    z = jax.lax.stop_gradient(z)
+    dists = jax.lax.stop_gradient(dists)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    k_c, k_f = jax.random.split(key)
+
+    def one(p, l, nk):
+        raw = renderer._query_mlp(p, l, pts, viewdirs, rc,
+                                  allow_fused=False)
+        return volume.raw2outputs(
+            raw, z, rays_d, raw_noise_std=rc.raw_noise_std,
+            white_bkgd=rc.white_bkgd, noise_key=nk, dists=dists)["rgb_map"]
+
+    img_loss = jnp.mean((one(params_f, ls_f, k_f) - target) ** 2)
+    loss = img_loss + jnp.mean((one(params_c, ls_c, k_c) - target) ** 2)
+    return loss, img_loss
+
+
+def _make_loss(rc, grid, occ_candidates, occ_budget):
+    if grid is None:
+        return lambda *a: double_mse_loss(*a)
+    return lambda sc, params, ro, rd, vd, tgt, near, far, k, rc_: \
+        double_mse_loss_occ(sc, params, ro, rd, vd, tgt, near, far, k, rc_,
+                            grid, occ_candidates, occ_budget)
+
+
+def make_train_step(rc: renderer.RenderConfig, optimizer, grid=None,
+                    occ_candidates: int = 64, occ_budget: int = 32):
+    """Build the jitted LSA train step. ``grid`` switches the loss to the
+    occupancy-accelerated path (see double_mse_loss_occ)."""
+    loss_fn = _make_loss(rc, grid, occ_candidates, occ_budget)
 
     @functools.partial(jax.jit, static_argnames=())
     def train_step(scales, opt_state, params, rays_o, rays_d, viewdirs,
                    target, near, far, key):
         (loss, img_loss), grads = jax.value_and_grad(
-            double_mse_loss, has_aux=True)(
+            loss_fn, has_aux=True)(
                 scales, params, rays_o, rays_d, viewdirs, target, near, far,
                 key, rc)
         updates, opt_state = optimizer.update(grads, opt_state, scales)
@@ -70,11 +128,14 @@ def make_train_step(rc: renderer.RenderConfig, optimizer):
     return train_step
 
 
-def make_scan_train_step(rc: renderer.RenderConfig, optimizer):
+def make_scan_train_step(rc: renderer.RenderConfig, optimizer, grid=None,
+                         occ_candidates: int = 64, occ_budget: int = 32):
     """Jitted multi-step LSA update: lax.scan over a stack of K pre-sampled
     ray batches, amortizing per-call dispatch latency (~15% faster per step
     on a tunneled TPU). Inputs rays_o/rays_d/target: (K, N, 3); keys: (K, 2).
-    Returns per-step (losses, img_losses)."""
+    ``grid`` switches to the occupancy-accelerated loss. Returns per-step
+    (losses, img_losses)."""
+    loss_fn = _make_loss(rc, grid, occ_candidates, occ_budget)
 
     @jax.jit
     def scan_step(scales, opt_state, params, rays_o, rays_d, viewdirs,
@@ -83,7 +144,7 @@ def make_scan_train_step(rc: renderer.RenderConfig, optimizer):
             sc, st = carry
             b_ro, b_rd, b_vd, b_tgt, k = batch
             (loss, img_loss), grads = jax.value_and_grad(
-                double_mse_loss, has_aux=True)(
+                loss_fn, has_aux=True)(
                     sc, params, b_ro, b_rd, b_vd, b_tgt, near, far, k, rc)
             updates, st = optimizer.update(grads, st, sc)
             sc = optax.apply_updates(sc, updates)
@@ -115,7 +176,8 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
                     epochs=2, n_iters=1000, i_save=0, basedir_save=None,
                     global_step0=0, seed=451, verbose=True,
                     save_hook=None, mesh=None, steps_per_call=8,
-                    tune_biases=False, tune_scales=True):
+                    tune_biases=False, tune_scales=True, grid=None,
+                    occ_candidates=64, occ_budget=32):
     """Run the full LSA optimization. Returns (ls_c, ls_f, mean_psnr,
     mean_loss (of last epoch), global_step, biases) where ``biases`` is
     ``(bias_c, bias_f)`` when ``tune_biases`` (fine-tuning) else None.
@@ -150,8 +212,12 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
         put = lambda *arrs: tuple(jnp.asarray(a) for a in arrs)
 
     use_scan = steps_per_call > 1 and mesh is None
-    train_step = make_train_step(rc, optimizer)
-    scan_step = make_scan_train_step(rc, optimizer) if use_scan else None
+    train_step = make_train_step(rc, optimizer, grid=grid,
+                                 occ_candidates=occ_candidates,
+                                 occ_budget=occ_budget)
+    scan_step = make_scan_train_step(
+        rc, optimizer, grid=grid, occ_candidates=occ_candidates,
+        occ_budget=occ_budget) if use_scan else None
     key = jax.random.PRNGKey(seed)
     logger = ResultLogger(basedir_save) if basedir_save else None
 

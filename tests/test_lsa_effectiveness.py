@@ -71,6 +71,34 @@ def test_lsa_recovers_quantization_loss():
     assert psnr_lsa > psnr_quant + 0.3  # LSA recovers a visible margin
 
 
+def test_occupancy_lsa_recovers_quantization_loss():
+    """The occupancy-accelerated LSA loss (grid-selected samples instead of
+    the dense hierarchical sweep) must deliver the same kind of recovery as
+    the exact objective — evaluated with the EXACT renderer."""
+    from nnc_tpu.render import occupancy
+
+    scene, (tc, tf_) = synthetic.make_scene(n_images=4, H=16, W=16, mlp=MLP,
+                                            rc=RC, seed=3)
+    qc, qf = quantize_params(tc), quantize_params(tf_)
+    psnr_quant = scene_psnr(scene, qc, qf, None, None)
+
+    grid = occupancy.build_occupancy_grid(qf, None, MLP, res=16,
+                                          chunk=4096)
+    assert bool(grid.occ.any())
+    batcher = RayBatcher(scene["images"], scene["poses"], scene["K"],
+                         scene["i_train"], 128, seed=0)
+    ls_c = nerf.init_lsa_scales(MLP)
+    ls_f = nerf.init_lsa_scales(MLP)
+    ls_c, ls_f, _p, _l, _s, _b = lsa.tune_lsa_scales(
+        qc, qf, ls_c, ls_f, batcher, RC, scene["near"], scene["far"],
+        learning_rate=5e-3, learning_rate_decay=0, epochs=1, n_iters=150,
+        verbose=False, grid=grid, occ_candidates=16, occ_budget=8)
+
+    psnr_lsa = scene_psnr(scene, qc, qf, ls_c, ls_f)
+    print(f"quant {psnr_quant:.2f} occ-lsa {psnr_lsa:.2f}")
+    assert psnr_lsa > psnr_quant + 0.3
+
+
 def test_fine_tune_trains_biases():
     """fine_tune (ft) tunes bias companions against quantized weights and
     returns them; with tune_scales off the scales stay frozen."""
