@@ -30,6 +30,13 @@ def main():
     ap.add_argument("--i-save", type=int, default=0)
     ap.add_argument("--full-mlp", action="store_true",
                     help="use the flagship 8x256 MLP (default: 8x64)")
+    ap.add_argument("--occupancy-tuning", action="store_true",
+                    help="LSA tunes on grid-selected samples (~3x faster "
+                         "steps; pays one extra compile + grid build, so "
+                         "it wins at production iteration counts, not in "
+                         "this short demo. Measured at 60 iters/flagship: "
+                         "+2.56 dB vs dense +3.09 — run ~2x the iters in "
+                         "the same wall time to come out ahead)")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +73,9 @@ def main():
         scene=scene, mlp_config=mlp, learning_rate=1e-3, epochs=args.epochs,
         learning_rate_decay=0.1, n_iters=args.iters, i_save=args.i_save,
         use_fused_mlp=True, verbose=True)
+    if args.occupancy_tuning:
+        import dataclasses
+        ex.rc = dataclasses.replace(ex.rc, use_occupancy_tuning=True)
 
     t0 = time.time()
     nnc_tpu.compress_model(wrapper, bitstream_path=paths["bitstream"],

@@ -78,20 +78,20 @@ def main():
     print(f"grid occupied fraction: {occ_frac:.4f}")
 
     if args.points:
-        points = [tuple(int(x) for x in (p.split(":") + ["32", "64"])[:5])
+        points = [tuple(int(x) for x in (p.split(":") + ["8", "128"])[:5])
                   for p in args.points.split(",")]
     else:
-        points = [(96, 48, 4, 32, 64), (96, 32, 4, 32, 64),
-                  (96, 24, 4, 32, 64), (128, 32, 4, 32, 64),
-                  (96, 32, 8, 32, 64), (64, 32, 4, 32, 64)]
+        points = [(64, 16, 4, 8, 128), (96, 48, 4, 8, 128),
+                  (64, 16, 4, 16, 128), (64, 16, 8, 8, 128),
+                  (96, 16, 4, 8, 128), (64, 16, 4, 8, 64)]
 
     import dataclasses
     empty_grid = occupancy.OccupancyGrid(
         occ=jnp.zeros_like(grid.occ), lo=grid.lo, hi=grid.hi)
 
     for cand, budget, sub, s_blk, r_t in points:
-        rc_p = dataclasses.replace(rc, fusion_sample_block=s_blk,
-                                   fusion_ray_tile=r_t)
+        rc_p = dataclasses.replace(rc, occ_sample_block=s_blk,
+                                   occ_ray_tile=r_t)
 
         @jax.jit
         def run_fast(ro_, rd_, vd_, g, c=cand, b=budget, s=sub, r=rc_p):
