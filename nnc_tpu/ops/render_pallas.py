@@ -86,7 +86,7 @@ def _composite_block(raw, dists_blk, z_blk, csd_in, h, s):
 
 
 def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True):
-    def kernel(work_ref, ptsdir_ref, dists_ref, z_ref, *refs):
+    def kernel(work_ref, ptsdir_ref, *refs):
         n_out = 4 if want_weights else 3
         mlp_refs = refs[:-n_out]
         maps_ref = refs[-n_out]
@@ -122,15 +122,20 @@ def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True):
             # (a (T, 8) block pads 8 -> 128 lanes and costs 16x the DMA
             # bytes; measured ~0.6 ms/frame at the bench operating point).
             # One in-kernel transpose restores the samples-major layout.
+            # Rows 6/7 carry z and dists (the MLP only reads cols 0:6), so
+            # the 16x-lane-padded block-major z/dists arrays and their
+            # per-block DMAs are gone entirely.
             x8 = ptsdir_ref[:].T
+            z_blk = x8[:, 6].reshape(r_t, s_blk)
+            dists_blk = x8[:, 7].reshape(r_t, s_blk)
             # two independent half-tile chains interleave MXU/VPU work
             raw0 = _mlp_body_pts(x8[:half * s_blk], mlp_refs, dtype)
             raw1 = _mlp_body_pts(x8[half * s_blk:], mlp_refs, dtype)
             m0, w0, c0 = _composite_block(
-                raw0, dists_ref[:half], z_ref[:half], csd_ref[:half],
+                raw0, dists_blk[:half], z_blk[:half], csd_ref[:half],
                 half, s_blk)
             m1, w1, c1 = _composite_block(
-                raw1, dists_ref[half:], z_ref[half:], csd_ref[half:],
+                raw1, dists_blk[half:], z_blk[half:], csd_ref[half:],
                 r_t - half, s_blk)
             acc_ref[:half] = acc_ref[:half] + m0
             acc_ref[half:] = acc_ref[half:] + m1
@@ -153,30 +158,21 @@ def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("s", "r_t", "s_blk", "term_csd",
+                   static_argnames=("n_i", "s", "r_t", "s_blk", "term_csd",
                                     "interpret", "want_weights"))
-def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
+def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
                           r_t, s_blk, term_csd, interpret=False,
                           want_weights=True):
-    # dists/z_vals arrive block-major: (n_i * n_j * r_t, s_blk)
-    n_i = flags.shape[0]
+    # ptsdir arrives transposed (8, M) with block-major samples on lanes;
+    # rows 6/7 carry z and dists. ``work``: per-(i, j) flags (see
+    # fused_render_pass). Dead blocks get their input indices remapped to
+    # block 0 below, so runs of skipped grid steps (empty tiles cluster at
+    # the end after the count sort; all-masked trailing blocks cluster per
+    # tile) elide the input DMAs entirely — without remapping,
+    # compute-skipped steps are still DMA-latency-bound (measured: an
+    # all-empty chunk rendered *slower* than a 34%-active one).
     n_rays = n_i * r_t
     n_j = s // s_blk
-
-    # per-(i, j) work flags: tile ray-flag AND any nonzero dist in the
-    # block. Dead blocks get their input indices remapped to block 0 below,
-    # so runs of skipped grid steps (empty tiles cluster at the end after
-    # the count sort; all-masked trailing blocks cluster per tile) elide
-    # the input DMAs entirely — without remapping, compute-skipped steps
-    # are still DMA-latency-bound (measured: an all-empty chunk rendered
-    # *slower* than a 34%-active one).
-    blk_any = jnp.any(
-        dists.reshape(n_i, n_j, r_t, s_blk) > 0.0, axis=(2, 3))
-    work = (blk_any & (flags != 0)[:, None]).astype(jnp.int32).reshape(-1)
-
-    def remap(i, j, w, _nj=n_j):
-        base = i * _nj + j
-        return (jnp.where(w[base] != 0, base, 0), 0)
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i, j, w: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
@@ -185,13 +181,9 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
         return (0, jnp.where(w[base] != 0, base, 0))
 
     in_specs = [
-        # ptsdir is transposed (8, M): 8 feature rows, block-major samples
-        # on lanes (lane blocks of r_t*s_blk are 128-divisible). dists/z
-        # use a block-major layout (lane width == s_blk) because Mosaic
-        # requires lane blocks to be 128-divisible or whole-array
+        # lane blocks of r_t*s_blk are 128-divisible (Mosaic requires
+        # lane blocks to be 128-divisible or whole-array)
         pl.BlockSpec((8, r_t * s_blk), remap_T, memory_space=pltpu.VMEM),
-        pl.BlockSpec((r_t, s_blk), remap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((r_t, s_blk), remap, memory_space=pltpu.VMEM),
     ]
     in_specs += [full(packed[k]) for k in _W_ORDER]
     in_specs += [full(biases[k]) for k in _B_ORDER]
@@ -231,7 +223,7 @@ def _fused_render_et_call(packed, biases, flags, ptsdir, dists, z_vals, s,
             flops=2 * n_rays * s * 600_000,
             bytes_accessed=n_rays * s * 44,
             transcendentals=n_rays * s * 90),
-    )(work, ptsdir, dists, z_vals,
+    )(work, ptsdir,
       *[packed[k] for k in _W_ORDER], *[biases[k] for k in _B_ORDER])
     if not want_weights:
         return outs[0], None
@@ -316,16 +308,16 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
         cq = jnp.repeat(col.reshape(n_i, r_t), s_blk, axis=1)
         return jnp.broadcast_to(cq[:, None, :], (n_i, n_j, q))
 
+    dists_q = dists.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
+        .reshape(n_i, n_j, q)
     rows = [expand(rays_o[:, d]) + expand(rays_d[:, d]) * z_q
             for d in range(3)]
     rows += [expand(viewdirs[:, d]) for d in range(3)]
-    rows += [jnp.zeros((n_i, n_j, q), jnp.float32)] * 2
+    # rows 6/7 carry z and dists into the kernel (the MLP reads only cols
+    # 0:6 after the in-kernel transpose) — no separate 16x-lane-padded
+    # block-major arrays, no extra per-block DMAs
+    rows += [z_q, dists_q]
     ptsdir = jnp.stack(rows).reshape(8, n_sample)
-
-    to_bm = lambda a: a.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
-        .reshape(n_i * n_j * r_t, s_blk)
-    dists_bm = to_bm(dists)
-    z_bm = to_bm(z_vals)
 
     if ray_flags is None:
         flags = jnp.ones((n_i,), jnp.int32)
@@ -333,12 +325,20 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
         flags = jnp.any(ray_flags.reshape(n_i, r_t),
                         axis=1).astype(jnp.int32)
 
+    # per-(i, j) work flags: tile ray-flag AND any nonzero dist in the
+    # block (a block whose dists are all 0 contributes exactly nothing:
+    # alpha = 1 - exp(0) = 0, csd unchanged). Exact-mode dists are strictly
+    # positive (diff + 1e10 sentinel): no behavior change there.
+    blk_any = jnp.any(
+        dists.reshape(n_i, r_t, n_j, s_blk) > 0.0, axis=(1, 3))
+    work = (blk_any & (flags != 0)[:, None]).astype(jnp.int32).reshape(-1)
+
     # optical-depth threshold: T < eps_T  <=>  csd > -log(eps_T)
     term_csd = float(-np.log(early_term_eps)) if early_term_eps > 0 \
         else float("inf")
 
     maps, weights_bm = _fused_render_et_call(
-        packed, biases, flags, ptsdir, dists_bm, z_bm, s, r_t, s_blk,
+        packed, biases, work, ptsdir, n_i, s, r_t, s_blk,
         term_csd, interpret=interpret, want_weights=return_weights)
     maps = maps[:n_rays]
     if raw_maps:

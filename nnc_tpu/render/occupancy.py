@@ -350,7 +350,7 @@ def _render_tiled_sorted(params, ls, rays_o, rays_d, viewdirs, near, far,
 
 def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
                       grid: OccupancyGrid = None, *, n_candidates: int = 64,
-                      budget: int = 16, subsample: int = 4, row_chunk=256,
+                      budget: int = 16, subsample: int = 4, row_chunk=512,
                       outputs=("rgb_map", "acc_map", "depth_map",
                                "disp_map")):
     """Render a full camera frame through the occupancy fast mode.
