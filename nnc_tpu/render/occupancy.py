@@ -38,6 +38,13 @@ class OccupancyGrid:
     # instruction cost dominates either way); None falls back to jnp.take
     # on the bool grid (kept for hand-built grids and res^3 % 32 != 0).
     occ_bits: Optional[jnp.ndarray] = None
+    # tight world AABB of the occupied voxels (+1 voxel margin), static.
+    # Candidate selection restricts each ray's sweep to its slab interval
+    # with this box — pure arithmetic, no gathers — which concentrates the
+    # C candidates on the occupied span instead of [near, far]. None falls
+    # back to the full [near, far] range.
+    occ_lo: Optional[Tuple[float, float, float]] = None
+    occ_hi: Optional[Tuple[float, float, float]] = None
 
     @property
     def res(self) -> int:
@@ -49,9 +56,10 @@ class OccupancyGrid:
 # program across views instead of retracing per call
 jax.tree_util.register_pytree_node(
     OccupancyGrid,
-    lambda g: ((g.occ, g.occ_bits), (g.lo, g.hi)),
+    lambda g: ((g.occ, g.occ_bits), (g.lo, g.hi, g.occ_lo, g.occ_hi)),
     lambda aux, ch: OccupancyGrid(occ=ch[0], occ_bits=ch[1],
-                                  lo=aux[0], hi=aux[1]))
+                                  lo=aux[0], hi=aux[1],
+                                  occ_lo=aux[2], occ_hi=aux[3]))
 
 
 def _pack_bits(occ_np) -> Optional[jnp.ndarray]:
@@ -107,8 +115,19 @@ def build_occupancy_grid(params, ls, config: nerf.NeRFConfig, *,
     if dilate:
         from scipy import ndimage
         occ = ndimage.binary_dilation(occ, iterations=dilate)
+    occ_lo = occ_hi = None
+    if occ.any():
+        occ_lo, occ_hi = [], []
+        for ax, (l, h) in enumerate(zip(lo, hi)):
+            proj = np.any(occ, axis=tuple(a for a in range(3) if a != ax))
+            nz = np.nonzero(proj)[0]
+            vox = (h - l) / res
+            occ_lo.append(float(l + (nz[0] - 1) * vox))
+            occ_hi.append(float(l + (nz[-1] + 2) * vox))
+        occ_lo, occ_hi = tuple(occ_lo), tuple(occ_hi)
     return OccupancyGrid(occ=jnp.asarray(occ), lo=tuple(lo), hi=tuple(hi),
-                         occ_bits=_pack_bits(occ))
+                         occ_bits=_pack_bits(occ), occ_lo=occ_lo,
+                         occ_hi=occ_hi)
 
 
 def lookup(grid: OccupancyGrid, pts):
@@ -137,27 +156,51 @@ def _lookup_coords(grid: OccupancyGrid, px, py, pz):
     return jnp.take(grid.occ.reshape(-1), flat) & inside
 
 
+def _ray_span(grid: OccupancyGrid, rays_o, rays_d, near, far):
+    """Per-ray [t0, t1] candidate range: the slab-test intersection with
+    the grid's tight occupied AABB (pure arithmetic, no gathers). Rays that
+    miss the box get t1 <= t0. Concentrating the C candidates on each
+    ray's occupied span instead of [near, far] buys ~2x effective z
+    resolution at the same gather count (or the same resolution at half
+    the gathers — the sweep is the dominant selection cost)."""
+    shape = rays_o.shape[:-1]
+    t0 = jnp.full(shape, jnp.float32(near))
+    t1 = jnp.full(shape, jnp.float32(far))
+    if grid.occ_lo is None:
+        return t0, t1
+    for d in range(3):
+        o, dd = rays_o[..., d], rays_d[..., d]
+        safe = jnp.where(jnp.abs(dd) < 1e-9,
+                         jnp.where(dd < 0, -1e-9, 1e-9), dd)
+        ta = (grid.occ_lo[d] - o) / safe
+        tb = (grid.occ_hi[d] - o) / safe
+        t0 = jnp.maximum(t0, jnp.minimum(ta, tb))
+        t1 = jnp.minimum(t1, jnp.maximum(ta, tb))
+    return t0, t1
+
+
 def select_occupied_samples(grid: OccupancyGrid, rays_o, rays_d, near, far,
                             n_candidates: int, budget: int):
-    """Uniform z candidates filtered by occupancy, compacted per ray to a
-    fixed ``budget`` (occupied candidates keep ray order; over-budget rays
-    stride-subsample — see _compact_stride). Returns (z (R, K), dists
-    (R, K) with masked entries 0, any_occupied (R,))."""
-    n_rays = rays_o.shape[0]
+    """Slab-restricted z candidates filtered by occupancy, compacted per
+    ray to a fixed ``budget`` (occupied candidates keep ray order;
+    over-budget rays stride-subsample — see _compact_stride). Returns
+    (z (R, K), dists (R, K) with masked entries 0, any_occupied (R,))."""
+    t0, t1 = _ray_span(grid, rays_o, rays_d, near, far)
+    span = jnp.maximum(t1 - t0, 0.0)[:, None]         # (R, 1)
     t = (jnp.arange(n_candidates, dtype=jnp.float32) + 0.5) / n_candidates
-    z = jnp.broadcast_to(near + (far - near) * t, (n_rays, n_candidates))
+    z = t0[:, None] + span * t                        # (R, C)
     coords = [rays_o[:, d:d + 1] + rays_d[:, d:d + 1] * z for d in range(3)]
-    occ = _lookup_coords(grid, *coords)               # (R, C) bool
+    occ = _lookup_coords(grid, *coords) & (span > 0)  # (R, C) bool
 
     keep, mask, stride = _compact_stride(occ, n_candidates, budget)
-    z_sel = jnp.take_along_axis(z, keep, axis=-1)
+    # z of kept candidates is arithmetic in the kept index (no gather)
+    spacing = span / n_candidates                     # (R, 1)
+    z_sel = t0[:, None] + (keep.astype(jnp.float32) + 0.5) * spacing
     # each kept sample represents ``stride`` occupied candidate cells:
     # integrate over stride x spacing (empty space between occupied cells has
     # sigma ~ 0 by construction, so skipping it leaves transmittance
     # untouched; striding is coarser quadrature over the occupied span, not
     # dropped mass)
-    spacing = (jnp.broadcast_to(jnp.asarray(far, jnp.float32), (n_rays, 1))
-               - near) / n_candidates
     dists = jnp.where(mask, spacing * stride, 0.0)
     return z_sel, dists, jnp.any(occ, axis=-1)
 
@@ -198,30 +241,40 @@ def _select_sub(grid: OccupancyGrid, rays_o, rays_d, near, far,
     n_rays = rays_o.shape[0]
     assert n_rays == H * W and H % factor == 0 and W % factor == 0
     Hs, Ws = H // factor, W // factor
-    t = (jnp.arange(n_candidates, dtype=jnp.float32) + 0.5) / n_candidates
-    z1 = near + (far - near) * t                      # (C,)
 
     sub = lambda a: a.reshape(H, W, -1)[factor // 2::factor,
                                         factor // 2::factor].reshape(
         Hs * Ws, -1)
     ro_s, rd_s = sub(rays_o), sub(rays_d)
+
+    def sh(a, d, axis):
+        return jnp.roll(a, d, axis)
+
+    # NOTE: the tiled path keeps a GLOBAL candidate z grid over [near,
+    # far]. Slab-restricting each block to its AABB span (as the per-ray
+    # path does) was tried and reverted: the 3x3 raster dilation below
+    # shares flags by candidate INDEX, and with per-block z grids the same
+    # index maps to different z — at silhouettes (where neighbor spans
+    # differ most, exactly where dilation matters) the carried flags mark
+    # wrong depths (measured max rgb dev 0.12 -> 0.18-0.19, devPSNR no
+    # better even at the same C).
+    t = (jnp.arange(n_candidates, dtype=jnp.float32) + 0.5) / n_candidates
+    z1 = near + (far - near) * t                      # (C,)
     z_s = jnp.broadcast_to(z1, (Hs * Ws, n_candidates))
     coords = [ro_s[:, d:d + 1] + rd_s[:, d:d + 1] * z_s for d in range(3)]
     occ = _lookup_coords(grid, *coords).reshape(Hs, Ws, n_candidates)
 
     # conservative dilation: 3x3 ray-raster neighborhood + 1 along z
-    def sh(a, d, axis):
-        return jnp.roll(a, d, axis)
     occ_d = occ
     for axis in (0, 1, 2):
         occ_d = occ_d | sh(occ_d, 1, axis) | sh(occ_d, -1, axis)
     occ_d = occ_d.reshape(Hs * Ws, n_candidates)
 
     keep, mask_s, stride = _compact_stride(occ_d, n_candidates, budget)
-    z_sel_s = jnp.take(z1, keep)                      # small gather
-    any_s = mask_s[:, 0]
-
     spacing = (far - near) / n_candidates
+    # z of kept candidates is arithmetic in the kept index (no gather)
+    z_sel_s = near + (keep.astype(jnp.float32) + 0.5) * spacing
+    any_s = mask_s[:, 0]
     dists_s = jnp.where(mask_s, spacing * stride, 0.0)
     return z_sel_s, dists_s, any_s
 
