@@ -405,37 +405,89 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
                       grid: OccupancyGrid = None, *, n_candidates: int = 64,
                       budget: int = 16, subsample: int = 4, row_chunk=512,
                       outputs=("rgb_map", "acc_map", "depth_map",
-                               "disp_map")):
+                               "disp_map"), mesh=None):
     """Render a full camera frame through the occupancy fast mode.
 
     rays_o/d: (H, W, 3) host arrays. Builds the grid from ``params``/``ls``
     when not supplied (≈one density sweep, amortized over the frame).
     ``outputs`` selects which maps reach the host — device-to-host
     transfers can dominate on tunneled links, so callers that only need
-    rgb should ask for only rgb. Returns dict of host numpy maps shaped
-    (H, W, ...)."""
+    rgb should ask for only rgb. With ``mesh``, row blocks shard over the
+    mesh's 'data' axis (shard_map: the Pallas kernels have no SPMD
+    partitioning rule, so each chip renders its row shard locally; the
+    whole frame path is embarrassingly data-parallel — zero collectives
+    on ICI). Returns dict of host numpy maps shaped (H, W, ...)."""
     H, W = rays_o.shape[:2]
     if grid is None:
         grid = build_occupancy_grid(params, ls, rc.mlp)
+    nd = 1
+    if mesh is not None:
+        nd = int(mesh.shape.get("data", 1))
     rows = min(row_chunk, H)
-    while H % rows:
+    while H % rows or rows % (subsample * nd):
         rows -= 1
-    rows = max(rows, subsample)
+        if rows <= 0:
+            raise ValueError(
+                f"frame rows {H} not divisible into subsample*data-shard "
+                f"blocks ({subsample}*{nd})")
+    rows = max(rows, subsample * nd)
+
+    if mesh is not None:
+        from ..parallel import data_sharding, replicate_params
+        sh = data_sharding(mesh)
+        put = lambda a: jax.device_put(jnp.asarray(a), sh)
+        params = replicate_params(mesh, params)
+        if ls is not None:
+            ls = replicate_params(mesh, ls)
+        grid = OccupancyGrid(
+            occ=replicate_params(mesh, grid.occ), lo=grid.lo, hi=grid.hi,
+            occ_bits=None if grid.occ_bits is None
+            else replicate_params(mesh, grid.occ_bits),
+            occ_lo=grid.occ_lo, occ_hi=grid.occ_hi)
+        frame_fn = _mesh_frame_fn(mesh)
+    else:
+        put = jnp.asarray
+        frame_fn = _render_frame_rows
 
     outs = []
     for r0 in range(0, H, rows):
-        ro = jnp.asarray(np.asarray(
+        ro = put(np.asarray(
             rays_o[r0:r0 + rows], np.float32).reshape(-1, 3))
-        rd = jnp.asarray(np.asarray(
+        rd = put(np.asarray(
             rays_d[r0:r0 + rows], np.float32).reshape(-1, 3))
-        outs.append(_render_frame_rows(params, ls, ro, rd,
-                                       jnp.float32(near), jnp.float32(far),
-                                       grid, rc, n_candidates, budget,
-                                       (rows, W), subsample,
-                                       tuple(outputs)))
+        outs.append(frame_fn(params, ls, ro, rd,
+                             jnp.float32(near), jnp.float32(far),
+                             grid, rc, n_candidates, budget,
+                             (rows // nd, W), subsample,
+                             tuple(outputs)))
     merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])
               for k in outs[0]}
     return {k: v.reshape((H, W) + v.shape[1:]) for k, v in merged.items()}
+
+
+@functools.lru_cache(maxsize=8)
+def _mesh_frame_fn(mesh):
+    """Per-mesh cached shard_map frame renderer (built once per mesh — a
+    per-call closure would recompile every frame). Each device runs the
+    full selection + fused-kernel pipeline on its own row shard; ``layout``
+    passed by the caller is the per-SHARD layout (rows//ndata, W)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(jax.jit, static_argnames=("rc", "n_candidates",
+                                                 "budget", "layout",
+                                                 "subsample", "outputs"))
+    def frame_fn(params, ls, ro, rd, near, far, grid, rc, n_candidates,
+                 budget, layout, subsample, outputs):
+        d = P("data")
+        body = lambda p_, l_, ro_, rd_, g_: _render_frame_rows(
+            p_, l_, ro_, rd_, near, far, g_, rc, n_candidates, budget,
+            layout, subsample, outputs)
+        fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), d, d, P()),
+                       out_specs=d, check_rep=False)
+        return fn(params, ls, ro, rd, grid)
+
+    return frame_fn
 
 
 @functools.partial(jax.jit, static_argnames=("rc", "n_candidates", "budget",

@@ -152,6 +152,39 @@ def test_render_image_fast_full_frame():
     assert d.max() < 0.06, d.max()
 
 
+def test_render_image_fast_sharded_matches_single():
+    """The shard_map multi-chip frame path (rows data-sharded, selection +
+    kernels shard-local, zero collectives) must reproduce the single-device
+    fast render exactly."""
+    from nnc_tpu import parallel
+
+    mlp, params, *_ = _setup()
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False, early_term_eps=0.0)
+    H, W = 16, 16
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    from nnc_tpu.data.synthetic import look_at_poses
+    pose = look_at_poses(1, seed=0)[0]
+    ro, rd = get_rays_np(H, W, K, pose[:3, :4])
+    single = occupancy.render_image_fast(
+        params, None, ro, rd, 2.0, 6.0, rc, grid, n_candidates=64,
+        budget=40, subsample=2, row_chunk=8)
+    mesh = parallel.make_mesh(4, ("data",))
+    sharded = occupancy.render_image_fast(
+        params, None, ro, rd, 2.0, 6.0, rc, grid, n_candidates=64,
+        budget=40, subsample=2, row_chunk=16, mesh=mesh)
+    # each shard is 4 rows = 2 subsampled rows; selection dilation wraps
+    # shard-locally, so results differ only where the 3x3 neighborhood
+    # crosses a shard boundary — compare with that tolerance
+    d = np.abs(single["rgb_map"] - sharded["rgb_map"])
+    assert d.max() < 0.06, d.max()
+    assert sharded["rgb_map"].shape == (H, W, 3)
+
+
 def test_executer_occupancy_renders(tmp_path):
     """NeRFModelExecuter test renders route through the fast mode when
     use_occupancy_renders is set (flagship config only)."""

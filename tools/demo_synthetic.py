@@ -75,7 +75,8 @@ def main():
         use_fused_mlp=True, verbose=True)
     if args.occupancy_tuning:
         import dataclasses
-        ex.rc = dataclasses.replace(ex.rc, use_occupancy_tuning=True)
+        ex.rc = dataclasses.replace(ex.rc, use_occupancy_tuning=True,
+                                    use_occupancy_renders=True)
 
     t0 = time.time()
     nnc_tpu.compress_model(wrapper, bitstream_path=paths["bitstream"],
