@@ -386,23 +386,22 @@ static void quant_dq_chunk(const float* x, int32_t* q, int64_t n, double delta,
   cost[0] = 0.0;
 
   const double half = delta * 0.5;
-  for (int64_t i = 0; i < n; ++i) {
-    const double v = (double)x[i];
-    const double av = std::fabs(v);
-    const double sgn = v < 0 ? -1.0 : 1.0;
-    for (int s = 0; s < S; ++s) ncost[s] = kInf;
-    int32_t* ch = &chosen[(size_t)i * S];
-    uint8_t* pr = &pred[(size_t)i * S];
 
-    // q_offset(s) only takes values {0, 1}, and a candidate's cost does
-    // not depend on the predecessor beyond its offset — so reduce the
-    // candidate set to the best EVEN and best ODD level per offset first,
-    // then relax 8 targets x 2 parity classes with no inner loop
-    // (the original 8-state x 4-candidate relaxation dominated the
-    // whole quantLayer)
-    int32_t best_m[2][2];   // [offset][parity] level magnitude
-    double best_c[2][2];    // [offset][parity] cost
-    for (int o = 0; o < 2; ++o) {
+  // Pass 1 (vectorizable, no cross-element dependency): reduce the
+  // candidate set to the best EVEN and best ODD level per quantizer
+  // offset. Valid because q_offset(s) only takes values {0, 1} and a
+  // candidate's cost does not depend on the predecessor beyond its
+  // offset. Stored as flat arrays so pass 2 -- the inherently sequential
+  // Viterbi relaxation -- is nothing but adds/compares.
+  std::vector<int32_t> bm(4 * (size_t)n);   // [(o*2+par)*n + i]
+  std::vector<double> bc(4 * (size_t)n);
+  for (int o = 0; o < 2; ++o) {
+    int32_t* bm_e = &bm[(size_t)(o * 2) * n];
+    double* bc_e = &bc[(size_t)(o * 2) * n];
+    int32_t* bm_o = &bm[(size_t)(o * 2 + 1) * n];
+    double* bc_o = &bc[(size_t)(o * 2 + 1) * n];
+    for (int64_t i = 0; i < n; ++i) {
+      const double av = std::fabs((double)x[i]);
       // target magnitude on this offset's grid: m* = (2|x|/delta + o) / 2
       const double mstar = (av / delta) + 0.5 * (double)o;
       int64_t me = 2 * (int64_t)std::llround(mstar * 0.5);
@@ -411,8 +410,8 @@ static void quant_dq_chunk(const float* x, int32_t* q, int64_t n, double delta,
       if (mo < 1) mo = 1;
       const int32_t ev[3] = {0, (int32_t)me,
                              (int32_t)(me - 2 >= 2 ? me - 2 : 0)};
-      double bc = kInf;
-      int32_t bm = 0;
+      double bcv = kInf;
+      int32_t bmv = 0;
       for (int c = 0; c < 3; ++c) {
         const int32_t m = ev[c];
         if (c == 2 && m == 0) break;  // duplicate of candidate 0
@@ -421,33 +420,40 @@ static void quant_dq_chunk(const float* x, int32_t* q, int64_t n, double delta,
         const double d = av - rec;
         double cc = d * d;
         if (lambda > 0.0) cc += lambda * rate_est(m, unary_len);
-        if (cc < bc) {
-          bc = cc;
-          bm = m;
+        if (cc < bcv) {
+          bcv = cc;
+          bmv = m;
         }
       }
-      best_c[o][0] = bc;
-      best_m[o][0] = bm;
+      bc_e[i] = bcv;
+      bm_e[i] = bmv;
       {
         const double rec = (2.0 * (double)mo - (double)o) * half;
         const double d = av - rec;
         double cc = d * d;
         if (lambda > 0.0)
           cc += lambda * rate_est((int32_t)mo, unary_len);
-        best_c[o][1] = cc;
-        best_m[o][1] = (int32_t)mo;
+        bc_o[i] = cc;
+        bm_o[i] = (int32_t)mo;
       }
     }
+  }
 
+  // Pass 2: sequential Viterbi relaxation, 8 targets x 2 parity classes.
+  for (int64_t i = 0; i < n; ++i) {
+    const double sgn = x[i] < 0 ? -1.0 : 1.0;
+    for (int s = 0; s < S; ++s) ncost[s] = kInf;
+    int32_t* ch = &chosen[(size_t)i * S];
+    uint8_t* pr = &pred[(size_t)i * S];
     for (int s = 0; s < S; ++s) {
       if (cost[s] >= kInf) continue;
       const int o = q_offset(s);
       for (int par = 0; par < 2; ++par) {
-        const double cc = cost[s] + best_c[o][par];
+        const double cc = cost[s] + bc[(size_t)(o * 2 + par) * n + i];
         const int s2 = kStateTrans[s][par];
         if (cc < ncost[s2]) {
           ncost[s2] = cc;
-          const int32_t m = best_m[o][par];
+          const int32_t m = bm[(size_t)(o * 2 + par) * n + i];
           ch[s2] = (int32_t)(sgn < 0 ? -m : m);
           pr[s2] = (uint8_t)s;
         }

@@ -250,7 +250,12 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
                 if global_step + 1 == 1:
                     to_boundary = 1
                 k = max(1, min(k, to_boundary))
-            if use_scan and k > 1:
+            # an odd scan length (i_save boundary remainder) would trace a
+            # NEW scan_step program — 30-60 s of XLA compile per distinct k
+            # on this environment, which dominated soak runs. Boundary
+            # remainders run as repeated single steps instead (the single-
+            # step program compiles once).
+            if use_scan and k == steps_per_call:
                 bs = [get_batch() for _ in range(k)]
                 ro, rd, vd, tgt = (np.stack([b[j] for b in bs])
                                    for j in range(4))
