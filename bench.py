@@ -79,7 +79,7 @@ def bench_render(jax, jnp):
     def run_fast(ro, rd, vd):
         return occupancy.render_rays_fast(
             params_f, None, ro, rd, vd, 2.0, 6.0, grid, rc,
-            n_candidates=64, budget=16, layout=(H, W), subsample=4)
+            n_candidates=48, budget=16, layout=(H, W), subsample=4)
 
     out_f = run_fast(rays_o, rays_d, vd)
     dev = float(np.asarray(jnp.max(jnp.abs(out_f["rgb_map"]
@@ -105,7 +105,7 @@ def bench_render(jax, jnp):
     def run_frame(ro, rd, vd):
         return occupancy.render_rays_fast(
             params_f, None, ro, rd, vd, 2.0, 6.0, grid, rc,
-            n_candidates=64, budget=16, layout=(FH, FW), subsample=4)
+            n_candidates=48, budget=16, layout=(FH, FW), subsample=4)
 
     out4 = run_frame(ro4, rd4, vd4)
     frame_active = float(np.asarray(jnp.mean((out4["acc_map"] > 1e-3)
@@ -156,7 +156,8 @@ def bench_train(jax, jnp):
         return (time.perf_counter() - t0) / iters
 
     from nnc_tpu.render import occupancy
-    grid = occupancy.build_occupancy_grid(params[1], None, mlp)
+    # per-ray training selection: thin dilation (see executer.tune_model)
+    grid = occupancy.build_occupancy_grid(params[1], None, mlp, dilate=1)
     return run(None), run(grid)
 
 

@@ -228,10 +228,13 @@ class NeRFModelExecuter(ModelExecute):
             if supports(self.rc.mlp):
                 from ..render import occupancy
                 aabb = scene.get("aabb", ((-2.0,) * 3, (2.0,) * 3))
+                # per-ray selection needs no block-divergence absorption:
+                # dilate=1 keeps the training sample count minimal (the
+                # default dilation exists for raster-tiled frame selection)
                 occ_grid = occupancy.build_occupancy_grid(
                     params_f if params_f is not None else params_c,
                     ls_f if params_f is not None else ls_c, self.rc.mlp,
-                    lo=tuple(aabb[0]), hi=tuple(aabb[1]))
+                    lo=tuple(aabb[0]), hi=tuple(aabb[1]), dilate=1)
 
         ls_c, ls_f, mean_psnr, mean_loss, _, biases = lsa.tune_lsa_scales(
             params_c, params_f, ls_c, ls_f, batcher, self.rc,

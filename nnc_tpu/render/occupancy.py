@@ -73,11 +73,14 @@ def _pack_bits(occ_np) -> Optional[jnp.ndarray]:
 def build_occupancy_grid(params, ls, config: nerf.NeRFConfig, *,
                          lo=(-2.0, -2.0, -2.0), hi=(2.0, 2.0, 2.0),
                          res: int = 128, sigma_threshold: float = 1e-2,
-                         dilate: int = 1, use_fused: bool = True,
+                         dilate: int = 3, use_fused: bool = True,
                          chunk: int = 262144) -> OccupancyGrid:
     """Sweep the density field at voxel centers, threshold, and dilate (a
     conservative 3^3 max-pool per step so surfaces near voxel borders are
-    kept)."""
+    kept). The default 3-step dilation (~±0.09 world units at res 128 over
+    a 4-unit AABB) also absorbs the ray divergence inside a subsample
+    block, letting tiled selection run each block independently (no
+    cross-block flag sharing — see _select_sub)."""
     axes = [l + (np.arange(res, dtype=np.float32) + 0.5) * (h - l) / res
             for l, h in zip(lo, hi)]
     gx, gy, gz = np.meshgrid(*axes, indexing="ij")
@@ -247,33 +250,31 @@ def _select_sub(grid: OccupancyGrid, rays_o, rays_d, near, far,
         Hs * Ws, -1)
     ro_s, rd_s = sub(rays_o), sub(rays_d)
 
-    def sh(a, d, axis):
-        return jnp.roll(a, d, axis)
+    # Per-block slab-restricted candidate range (see _ray_span) with a
+    # small world margin, and flag dilation ONLY along z: blocks are fully
+    # independent, so per-block z grids are sound. (Cross-block 3x3 raster
+    # dilation with per-block grids was tried and is UNSOUND — flags share
+    # candidate INDICES that map to different z across blocks, exactly at
+    # silhouettes; instead the occupancy grid itself is dilated enough at
+    # build time to absorb the ray divergence inside a block. Measured vs
+    # the old global-z + raster-dilation design: equal-or-better devPSNR
+    # and maxdev at C=48 vs C=64, 25% fewer sweep gathers.)
+    t0, t1 = _ray_span(grid, ro_s, rd_s, near, far)
+    margin = 2.0 * max(h - l for l, h in zip(grid.lo, grid.hi)) / grid.res
+    t0 = jnp.maximum(t0[:, None] - margin, near)
+    t1 = jnp.minimum(t1[:, None] + margin, far)
+    span = jnp.maximum(t1 - t0, 0.0)                  # (Hs*Ws, 1)
 
-    # NOTE: the tiled path keeps a GLOBAL candidate z grid over [near,
-    # far]. Slab-restricting each block to its AABB span (as the per-ray
-    # path does) was tried and reverted: the 3x3 raster dilation below
-    # shares flags by candidate INDEX, and with per-block z grids the same
-    # index maps to different z — at silhouettes (where neighbor spans
-    # differ most, exactly where dilation matters) the carried flags mark
-    # wrong depths (measured max rgb dev 0.12 -> 0.18-0.19, devPSNR no
-    # better even at the same C).
     t = (jnp.arange(n_candidates, dtype=jnp.float32) + 0.5) / n_candidates
-    z1 = near + (far - near) * t                      # (C,)
-    z_s = jnp.broadcast_to(z1, (Hs * Ws, n_candidates))
+    z_s = t0 + span * t                               # (Hs*Ws, C)
     coords = [ro_s[:, d:d + 1] + rd_s[:, d:d + 1] * z_s for d in range(3)]
-    occ = _lookup_coords(grid, *coords).reshape(Hs, Ws, n_candidates)
+    occ = _lookup_coords(grid, *coords) & (span > 0)
+    occ = occ | jnp.roll(occ, 1, 1) | jnp.roll(occ, -1, 1)  # ±1 along z
 
-    # conservative dilation: 3x3 ray-raster neighborhood + 1 along z
-    occ_d = occ
-    for axis in (0, 1, 2):
-        occ_d = occ_d | sh(occ_d, 1, axis) | sh(occ_d, -1, axis)
-    occ_d = occ_d.reshape(Hs * Ws, n_candidates)
-
-    keep, mask_s, stride = _compact_stride(occ_d, n_candidates, budget)
-    spacing = (far - near) / n_candidates
+    keep, mask_s, stride = _compact_stride(occ, n_candidates, budget)
+    spacing = span / n_candidates
     # z of kept candidates is arithmetic in the kept index (no gather)
-    z_sel_s = near + (keep.astype(jnp.float32) + 0.5) * spacing
+    z_sel_s = t0 + (keep.astype(jnp.float32) + 0.5) * spacing
     any_s = mask_s[:, 0]
     dists_s = jnp.where(mask_s, spacing * stride, 0.0)
     return z_sel_s, dists_s, any_s
@@ -299,7 +300,7 @@ def select_occupied_samples_tiled(grid: OccupancyGrid, rays_o, rays_d, near,
 
 
 def render_rays_fast(params, ls, rays_o, rays_d, viewdirs, near, far,
-                     grid: OccupancyGrid, rc, *, n_candidates: int = 64,
+                     grid: OccupancyGrid, rc, *, n_candidates: int = 48,
                      budget: int = 16, layout=None, subsample: int = 4):
     """Occupancy-accelerated single-network render (uses the fine network's
     parameters; no hierarchical resampling — the grid already concentrates
@@ -402,7 +403,7 @@ def _render_tiled_sorted(params, ls, rays_o, rays_d, viewdirs, near, far,
 
 
 def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
-                      grid: OccupancyGrid = None, *, n_candidates: int = 64,
+                      grid: OccupancyGrid = None, *, n_candidates: int = 48,
                       budget: int = 16, subsample: int = 4, row_chunk=512,
                       outputs=("rgb_map", "acc_map", "depth_map",
                                "disp_map"), mesh=None):
