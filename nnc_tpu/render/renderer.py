@@ -127,15 +127,19 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
         use_full_fusion = mlp_pallas.supports(rc.mlp)
 
     def one_pass(p, l, z, noise_key, ro=rays_o, rd=rays_d, vd=None,
-                 ray_flags=None):
+                 ray_flags=None, need_weights=True):
         vd = viewdirs if vd is None else vd
         if use_full_fusion:
             from ..ops.render_pallas import fused_render_pass
+            # only the coarse pass consumes weights (sample_pdf); skipping
+            # them on the fine pass drops the per-block weights writes and
+            # the S=192 inverse block-major transform
             o = fused_render_pass(p, l, ro, rd, vd, z, rc.mlp,
                                   early_term_eps=rc.early_term_eps,
                                   ray_flags=ray_flags,
                                   r_t=rc.fusion_ray_tile,
-                                  s_blk=rc.fusion_sample_block)
+                                  s_blk=rc.fusion_sample_block,
+                                  return_weights=need_weights)
             if rc.white_bkgd:
                 o["rgb_map"] = o["rgb_map"] + (1.0 - o["acc_map"][..., None])
             return o
@@ -173,7 +177,8 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
             inv = jnp.argsort(order)
             out_f = one_pass(fine_p, fine_ls, z_all[order], k_noise1,
                              ro=rays_o[order], rd=rays_d[order],
-                             vd=viewdirs[order], ray_flags=active[order])
+                             vd=viewdirs[order], ray_flags=active[order],
+                             need_weights=False)
             n_pad = ((n_rays + r_t - 1) // r_t) * r_t
             tiles = jnp.any(
                 jnp.pad(active[order], (0, n_pad - n_rays))
@@ -185,7 +190,8 @@ def render_rays(params, params_fine, ls, ls_fine, rays_o, rays_d, viewdirs,
                     out_f[k][inv], out[k])
                 for k in ("rgb_map", "disp_map", "acc_map")}
         else:
-            out = one_pass(fine_p, fine_ls, z_all, k_noise1)
+            out = one_pass(fine_p, fine_ls, z_all, k_noise1,
+                           need_weights=False)
         ret["z_std"] = jnp.std(z_samples, axis=-1)
 
     ret["rgb_map"] = out["rgb_map"]
