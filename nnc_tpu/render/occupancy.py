@@ -406,14 +406,16 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
                       grid: OccupancyGrid = None, *, n_candidates: int = 48,
                       budget: int = 16, subsample: int = 4, row_chunk=512,
                       outputs=("rgb_map", "acc_map", "depth_map",
-                               "disp_map"), mesh=None):
+                               "disp_map"), mesh=None, rgb_uint8=False):
     """Render a full camera frame through the occupancy fast mode.
 
     rays_o/d: (H, W, 3) host arrays. Builds the grid from ``params``/``ls``
     when not supplied (≈one density sweep, amortized over the frame).
     ``outputs`` selects which maps reach the host — device-to-host
     transfers can dominate on tunneled links, so callers that only need
-    rgb should ask for only rgb. With ``mesh``, row blocks shard over the
+    rgb should ask for only rgb; ``rgb_uint8`` additionally quantizes
+    rgb_map to uint8 on-device (4x fewer transfer bytes — the to8b the
+    caller would apply anyway). With ``mesh``, row blocks shard over the
     mesh's 'data' axis (shard_map: the Pallas kernels have no SPMD
     partitioning rule, so each chip renders its row shard locally; the
     whole frame path is embarrassingly data-parallel — zero collectives
@@ -460,7 +462,7 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
                              jnp.float32(near), jnp.float32(far),
                              grid, rc, n_candidates, budget,
                              (rows // nd, W), subsample,
-                             tuple(outputs)))
+                             tuple(outputs), rgb_uint8))
     merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])
               for k in outs[0]}
     return {k: v.reshape((H, W) + v.shape[1:]) for k, v in merged.items()}
@@ -477,13 +479,14 @@ def _mesh_frame_fn(mesh):
 
     @functools.partial(jax.jit, static_argnames=("rc", "n_candidates",
                                                  "budget", "layout",
-                                                 "subsample", "outputs"))
+                                                 "subsample", "outputs",
+                                                 "rgb_uint8"))
     def frame_fn(params, ls, ro, rd, near, far, grid, rc, n_candidates,
-                 budget, layout, subsample, outputs):
+                 budget, layout, subsample, outputs, rgb_uint8=False):
         d = P("data")
         body = lambda p_, l_, ro_, rd_, g_: _render_frame_rows(
             p_, l_, ro_, rd_, near, far, g_, rc, n_candidates, budget,
-            layout, subsample, outputs)
+            layout, subsample, outputs, rgb_uint8)
         fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), d, d, P()),
                        out_specs=d, check_rep=False)
         return fn(params, ls, ro, rd, grid)
@@ -493,9 +496,10 @@ def _mesh_frame_fn(mesh):
 
 @functools.partial(jax.jit, static_argnames=("rc", "n_candidates", "budget",
                                              "layout", "subsample",
-                                             "outputs"))
+                                             "outputs", "rgb_uint8"))
 def _render_frame_rows(params, ls, ro, rd, near, far, grid, rc, n_candidates,
-                       budget, layout, subsample, outputs):
+                       budget, layout, subsample, outputs,
+                       rgb_uint8=False):
     """Module-level jit: one compiled program shared across all frames/rows
     of a render run (a per-call @jax.jit closure would retrace every view —
     20-60 s per compile on this environment)."""
@@ -503,4 +507,8 @@ def _render_frame_rows(params, ls, ro, rd, near, far, grid, rc, n_candidates,
     out = render_rays_fast(params, ls, ro, rd, vd, near, far, grid, rc,
                            n_candidates=n_candidates, budget=budget,
                            layout=layout, subsample=subsample)
-    return {k: out[k] for k in outputs}
+    out = {k: out[k] for k in outputs}
+    if rgb_uint8 and "rgb_map" in out:
+        out["rgb_map"] = (jnp.clip(out["rgb_map"], 0.0, 1.0)
+                          * 255.0).astype(jnp.uint8)
+    return out
