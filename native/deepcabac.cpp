@@ -565,19 +565,23 @@ struct ProfileEstimator {
   uint64_t cost[P] = {0, 0, 0, 0};  // fixed point, 1/256 bit
   uint64_t bypass_bits = 0;         // identical for all profiles
 
-  // cost tables indexed by prob>>7 (256 buckets of the 15-bit P(bin==1))
-  static const uint32_t* table(int bin) {
-    static uint32_t t1[256], t0[256];
-    static bool built = false;
-    if (!built) {
+  // cost tables indexed by prob>>7 (256 buckets of the 15-bit P(bin==1)).
+  // Built inside a function-local static struct: C++11 magic statics make
+  // the one-time init thread-safe (encode_layer_impl runs concurrently
+  // under host-parallel NDU encode).
+  struct CostTables {
+    uint32_t t1[256], t0[256];
+    CostTables() {
       for (int b = 0; b < 256; ++b) {
         const double p = ((double)b * 128.0 + 64.0) / 32768.0;
         t1[b] = (uint32_t)(-std::log2(p) * 256.0 + 0.5);
         t0[b] = (uint32_t)(-std::log2(1.0 - p) * 256.0 + 0.5);
       }
-      built = true;
     }
-    return bin ? t1 : t0;
+  };
+  static const uint32_t* table(int bin) {
+    static const CostTables t;
+    return bin ? t.t1 : t.t0;
   }
 
   void init(int unary_len) {
