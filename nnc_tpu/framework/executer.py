@@ -86,13 +86,18 @@ class NeRFModelExecuter(ModelExecute):
         # amortized across all views (NDC-warped rays keep the exact path —
         # the grid AABB is world-space)
         grid = None
-        if self.rc.use_occupancy_renders and not scene.get("ndc", False):
+        is_ndc = bool(scene.get("ndc", False))
+        if self.rc.use_occupancy_renders:
             from ..ops.mlp_pallas import supports
             if supports(self.rc.mlp):
                 from ..render import occupancy
-                # grid bounds: scene override, else the blender-convention
-                # default [-2, 2]^3 (objects normalized near the origin)
-                aabb = scene.get("aabb", ((-2.0,) * 3, (2.0,) * 3))
+                # grid bounds: NDC scenes sample the NDC cube (the MLP
+                # operates on NDC points, run_nerf.py:119-133); otherwise
+                # the scene override or the blender-convention [-2, 2]^3
+                if is_ndc:
+                    aabb = ((-1.0,) * 3, (1.0,) * 3)
+                else:
+                    aabb = scene.get("aabb", ((-2.0,) * 3, (2.0,) * 3))
                 grid = occupancy.build_occupancy_grid(
                     params_f if params_f is not None else params_c,
                     ls_f if params_f is not None else ls_c, self.rc.mlp,
@@ -102,18 +107,19 @@ class NeRFModelExecuter(ModelExecute):
                                  scene["poses"][vi, :3, :4])
             vd = None
             near, far = scene["near"], scene["far"]
-            if scene.get("ndc", False):
+            if is_ndc:
                 vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
                 ro_j, rd_j = ndc_rays(scene["H"], scene["W"],
                                       float(scene["K"][0][0]), 1.0,
                                       jnp.asarray(ro), jnp.asarray(rd))
                 ro, rd = np.asarray(ro_j), np.asarray(rd_j)
+                near, far = 0.0, 1.0
             if grid is not None:
                 from ..render import occupancy
                 out = occupancy.render_image_fast(
                     params_f if params_f is not None else params_c,
                     ls_f if params_f is not None else ls_c,
-                    ro, rd, near, far, self.rc, grid)
+                    ro, rd, near, far, self.rc, grid, viewdirs=vd)
             else:
                 out = renderer.render_image(params_c, params_f, ls_c, ls_f,
                                             ro, rd, near, far, self.rc,
@@ -223,11 +229,16 @@ class NeRFModelExecuter(ModelExecute):
         # channel-scale error — occupancy barely moves, and the dilated
         # grid is conservative). Same gating as the fast test renders.
         occ_grid = None
-        if self.rc.use_occupancy_tuning and not scene.get("ndc", False):
+        if self.rc.use_occupancy_tuning:
             from ..ops.mlp_pallas import supports
             if supports(self.rc.mlp):
                 from ..render import occupancy
-                aabb = scene.get("aabb", ((-2.0,) * 3, (2.0,) * 3))
+                # NDC scenes: the batcher already warps rays, and the MLP
+                # operates on NDC points — sample the NDC cube
+                if scene.get("ndc", False):
+                    aabb = ((-1.0,) * 3, (1.0,) * 3)
+                else:
+                    aabb = scene.get("aabb", ((-2.0,) * 3, (2.0,) * 3))
                 # per-ray selection needs no block-divergence absorption:
                 # dilate=1 keeps the training sample count minimal (the
                 # default dilation exists for raster-tiled frame selection)

@@ -406,7 +406,8 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
                       grid: OccupancyGrid = None, *, n_candidates: int = 48,
                       budget: int = 16, subsample: int = 4, row_chunk=512,
                       outputs=("rgb_map", "acc_map", "depth_map",
-                               "disp_map"), mesh=None, rgb_uint8=False):
+                               "disp_map"), mesh=None, rgb_uint8=False,
+                      viewdirs=None):
     """Render a full camera frame through the occupancy fast mode.
 
     rays_o/d: (H, W, 3) host arrays. Builds the grid from ``params``/``ls``
@@ -415,7 +416,10 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
     transfers can dominate on tunneled links, so callers that only need
     rgb should ask for only rgb; ``rgb_uint8`` additionally quantizes
     rgb_map to uint8 on-device (4x fewer transfer bytes — the to8b the
-    caller would apply anyway). With ``mesh``, row blocks shard over the
+    caller would apply anyway). ``viewdirs`` (H, W, 3) overrides the
+    directions fed to the view branch — NDC renders pass pre-warp dirs
+    with warped rays (run_nerf.py:119-133) and an NDC-cube grid.
+    With ``mesh``, row blocks shard over the
     mesh's 'data' axis (shard_map: the Pallas kernels have no SPMD
     partitioning rule, so each chip renders its row shard locally; the
     whole frame path is embarrassingly data-parallel — zero collectives
@@ -458,7 +462,9 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
             rays_o[r0:r0 + rows], np.float32).reshape(-1, 3))
         rd = put(np.asarray(
             rays_d[r0:r0 + rows], np.float32).reshape(-1, 3))
-        outs.append(frame_fn(params, ls, ro, rd,
+        vd = None if viewdirs is None else put(np.asarray(
+            viewdirs[r0:r0 + rows], np.float32).reshape(-1, 3))
+        outs.append(frame_fn(params, ls, ro, rd, vd,
                              jnp.float32(near), jnp.float32(far),
                              grid, rc, n_candidates, budget,
                              (rows // nd, W), subsample,
@@ -481,15 +487,17 @@ def _mesh_frame_fn(mesh):
                                                  "budget", "layout",
                                                  "subsample", "outputs",
                                                  "rgb_uint8"))
-    def frame_fn(params, ls, ro, rd, near, far, grid, rc, n_candidates,
+    def frame_fn(params, ls, ro, rd, vd, near, far, grid, rc, n_candidates,
                  budget, layout, subsample, outputs, rgb_uint8=False):
         d = P("data")
-        body = lambda p_, l_, ro_, rd_, g_: _render_frame_rows(
-            p_, l_, ro_, rd_, near, far, g_, rc, n_candidates, budget,
+        body = lambda p_, l_, ro_, rd_, vd_, g_: _render_frame_rows(
+            p_, l_, ro_, rd_, vd_, near, far, g_, rc, n_candidates, budget,
             layout, subsample, outputs, rgb_uint8)
-        fn = shard_map(body, mesh=mesh, in_specs=(P(), P(), d, d, P()),
+        fn = shard_map(body, mesh=mesh,
+                       in_specs=(P(), P(), d, d, P() if vd is None else d,
+                                 P()),
                        out_specs=d, check_rep=False)
-        return fn(params, ls, ro, rd, grid)
+        return fn(params, ls, ro, rd, vd, grid)
 
     return frame_fn
 
@@ -497,13 +505,14 @@ def _mesh_frame_fn(mesh):
 @functools.partial(jax.jit, static_argnames=("rc", "n_candidates", "budget",
                                              "layout", "subsample",
                                              "outputs", "rgb_uint8"))
-def _render_frame_rows(params, ls, ro, rd, near, far, grid, rc, n_candidates,
-                       budget, layout, subsample, outputs,
+def _render_frame_rows(params, ls, ro, rd, vd, near, far, grid, rc,
+                       n_candidates, budget, layout, subsample, outputs,
                        rgb_uint8=False):
     """Module-level jit: one compiled program shared across all frames/rows
     of a render run (a per-call @jax.jit closure would retrace every view —
     20-60 s per compile on this environment)."""
-    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    if vd is None:
+        vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
     out = render_rays_fast(params, ls, ro, rd, vd, near, far, grid, rc,
                            n_candidates=n_candidates, budget=budget,
                            layout=layout, subsample=subsample)

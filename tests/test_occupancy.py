@@ -185,6 +185,42 @@ def test_render_image_fast_sharded_matches_single():
     assert sharded["rgb_map"].shape == (H, W, 3)
 
 
+def test_render_image_fast_ndc_matches_exact():
+    """NDC (LLFF-family) frame renders through the fast mode: warped rays
+    integrate t in [0, 1] inside the NDC cube with pre-warp viewdirs
+    (run_nerf.py:119-133); the grid samples the NDC cube. Must match the
+    exact NDC render."""
+    from nnc_tpu.render.rays import ndc_rays
+
+    mlp, params, *_ = _setup()
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          lo=(-1.0,) * 3, hi=(1.0,) * 3,
+                                          use_fused=False, chunk=32768)
+    assert bool(grid.occ.any())
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False, early_term_eps=0.0)
+    H, W = 16, 16
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    pose = np.eye(4, dtype=np.float32)  # forward-facing camera at origin
+    ro, rd = get_rays_np(H, W, K, pose[:3, :4])
+    vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    import jax.numpy as jnp
+    ro_n, rd_n = ndc_rays(H, W, focal, 1.0, jnp.asarray(ro.reshape(-1, 3)),
+                          jnp.asarray(rd.reshape(-1, 3)))
+    ro_n = np.asarray(ro_n).reshape(H, W, 3)
+    rd_n = np.asarray(rd_n).reshape(H, W, 3)
+
+    exact = renderer.render_image(params, None, None, None, ro_n, rd_n,
+                                  0.0, 1.0, rc, viewdirs=vd)
+    fast = occupancy.render_image_fast(
+        params, None, ro_n, rd_n, 0.0, 1.0, rc, grid, n_candidates=64,
+        budget=48, subsample=2, row_chunk=8, viewdirs=vd)
+    d = np.abs(fast["rgb_map"] - exact["rgb_map"])
+    assert d.max() < 0.06, d.max()
+
+
 def test_executer_occupancy_renders(tmp_path):
     """NeRFModelExecuter test renders route through the fast mode when
     use_occupancy_renders is set (flagship config only)."""
