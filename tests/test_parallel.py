@@ -67,6 +67,52 @@ def test_data_parallel_train_step_matches_single_device():
                                    atol=1e-6)
 
 
+def test_data_parallel_occ_lsa_step_matches_single_device():
+    """The occupancy-accelerated LSA loss under a data mesh (sharded ray
+    batch, replicated grid) must match the single-device step — selection
+    is per-ray arithmetic + gathers on replicated tables, so sharding
+    introduces no cross-device dependence."""
+    import optax
+    from nnc_tpu.render import occupancy
+
+    mlp = nerf.NeRFConfig(W=16)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=8, n_importance=4,
+                               chunk=16)
+    key = jax.random.PRNGKey(0)
+    params = (nerf.init_params(key, mlp),
+              nerf.init_params(jax.random.fold_in(key, 1), mlp))
+    scales = (nerf.init_lsa_scales(mlp), nerf.init_lsa_scales(mlp))
+    grid = occupancy.OccupancyGrid(
+        occ=jnp.ones((8, 8, 8), bool), lo=(-2.0,) * 3, hi=(2.0,) * 3)
+    optimizer = optax.adam(1e-3)
+    step = lsa.make_train_step(rc, optimizer, grid=grid, occ_candidates=8,
+                               occ_budget=4)
+
+    rng = np.random.default_rng(0)
+    ro = rng.normal(0, 1, (16, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (16, 3)).astype(np.float32) - [0, 0, 2]
+    tgt = rng.uniform(0, 1, (16, 3)).astype(np.float32)
+    k = jax.random.PRNGKey(7)
+
+    s1, _, loss1, _ = step(scales, optimizer.init(scales), params,
+                           jnp.asarray(ro), jnp.asarray(rd), None,
+                           jnp.asarray(tgt), 2.0, 6.0, k)
+
+    mesh = parallel.make_mesh(8, ("data",))
+    params_r = (parallel.replicate_params(mesh, params[0]),
+                parallel.replicate_params(mesh, params[1]))
+    scales_r = parallel.replicate_params(mesh, scales)
+    ro_s, rd_s, tgt_s = parallel.shard_train_inputs(mesh, ro, rd, tgt)
+    s2, _, loss2, _ = step(scales_r, optimizer.init(scales_r), params_r,
+                           ro_s, rd_s, None, tgt_s, 2.0, 6.0, k)
+
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-5)
+    for name in s1[0]:
+        np.testing.assert_allclose(np.asarray(s1[0][name]),
+                                   np.asarray(s2[0][name]), rtol=1e-4,
+                                   atol=1e-6)
+
+
 def test_graft_entry_compiles():
     import sys, os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
