@@ -10,10 +10,11 @@ plenoxels occupancy grids; PAPERS.md) and intentionally diverges from the
 reference's always-dense sampling (run_nerf.py:348-457): it is a separate
 opt-in mode; the exact path remains the default.
 
-Typical operating point (v5e-1, solid synthetic scene, 34% active rays,
-K=16 of 64 candidates with stride-subsampling for over-budget rays): ~12x
-fewer MLP evaluations than the exact hierarchical render at ~49 dB
-deviation-PSNR (max rgb dev < 0.08) on in-grid geometry.
+Typical operating point (v5e-1, solid synthetic scene, ~28% active rays,
+budget 16 of 48 slab-restricted candidates with stride-subsampling for
+over-budget rays): ~12x fewer MLP evaluations than the exact hierarchical
+render at ~48-50 dB deviation-PSNR (max rgb dev ~0.1) on in-grid geometry;
+7.6M rays/s on a full 400x400 frame vs ~385K exact.
 """
 from __future__ import annotations
 
