@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -147,6 +148,7 @@ class NeRFModelExecuter(ModelExecute):
         # restarts tuning from scratch; SURVEY §5 checkpoint/resume gap):
         # pick up the newest mid-tune checkpoint's scales + step counter.
         global_step0 = 0
+        opt_state0 = None
         if self.resume and basedir_save:
             import glob as _glob
             ckpts = _glob.glob(os.path.join(basedir_save, "reconstructed",
@@ -160,11 +162,21 @@ class NeRFModelExecuter(ModelExecute):
                 sd = {k: v.numpy() for k, v in
                       torch.load(latest, map_location="cpu", weights_only=True).items()}
                 _pc, _pf, ls_c, ls_f = self._split_params(sd)
+                # optimizer-state sidecar (Adam moments + step count; the
+                # reference carries tuning_optimizer_state_dict the same
+                # way, utils.py:103-106) — flat leaves, re-structured by
+                # tune_lsa_scales against a fresh optimizer.init
+                opt_path = latest[:-3] + ".opt.npz"
+                if os.path.exists(opt_path):
+                    with np.load(opt_path) as z:
+                        opt_state0 = [z[k] for k in sorted(
+                            z.files, key=lambda s: int(s.split("_")[1]))]
                 if self.verbose:
                     print(f"INFO: resuming LSA from step {global_step0} "
-                          f"({latest})")
+                          f"({latest}"
+                          f"{', with optimizer state' if opt_state0 else ''})")
 
-        def save_hook(step, cur_ls_c, cur_ls_f):
+        def save_hook(step, cur_ls_c, cur_ls_f, opt_state=None):
             if basedir_save is None:
                 return
             from ..utils import ckpt as ckpt_utils
@@ -177,6 +189,11 @@ class NeRFModelExecuter(ModelExecute):
             from ..framework.torch_io import save_to_torch_file
             save_to_torch_file(sd, os.path.join(rec_dir,
                                                 f"ckpt_step{step}.pt"))
+            if opt_state is not None:
+                leaves = jax.tree_util.tree_leaves(opt_state)
+                np.savez(os.path.join(rec_dir, f"ckpt_step{step}.opt.npz"),
+                         **{f"leaf_{i}": np.asarray(l)
+                            for i, l in enumerate(leaves)})
             testdir = os.path.join(basedir_save, f"testset_step{step}")
             os.makedirs(testdir, exist_ok=True)
             rgbs, _ = self._render_views(params_c, params_f, cur_ls_c,
@@ -256,7 +273,7 @@ class NeRFModelExecuter(ModelExecute):
             basedir_save=basedir_save, global_step0=global_step0,
             seed=self.seed, verbose=self.verbose or verbose,
             save_hook=save_hook, mesh=self.mesh, tune_biases=ft_flag,
-            tune_scales=lsa_flag)
+            tune_scales=lsa_flag, opt_state0=opt_state0)
 
         lsa_params, ft_params = {}, {}
         if lsa_flag:

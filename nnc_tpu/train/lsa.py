@@ -158,14 +158,18 @@ def make_scan_train_step(rc: renderer.RenderConfig, optimizer, grid=None,
     return scan_step
 
 
-def make_lr_schedule(lr: float, decay: float, steps_per_epoch: int):
+def make_lr_schedule(lr: float, decay: float, steps_per_epoch: int,
+                     offset: int = 0):
     """Per-epoch staircase decay (torch StepLR semantics; decay=0 disables).
+    ``offset`` shifts the step count — used when resuming without a saved
+    optimizer state, so the schedule continues from the interrupted step
+    instead of restarting at the base lr.
     (reference: pytorch_model/__init__.py:1161-1167)"""
     if not decay:
         return lr
 
     def schedule(count):
-        epoch = count // steps_per_epoch
+        epoch = (count + offset) // steps_per_epoch
         return lr * (decay ** epoch)
 
     return schedule
@@ -177,16 +181,25 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
                     global_step0=0, seed=451, verbose=True,
                     save_hook=None, mesh=None, steps_per_call=8,
                     tune_biases=False, tune_scales=True, grid=None,
-                    occ_candidates=64, occ_budget=32):
+                    occ_candidates=64, occ_budget=32, opt_state0=None):
     """Run the full LSA optimization. Returns (ls_c, ls_f, mean_psnr,
     mean_loss (of last epoch), global_step, biases) where ``biases`` is
     ``(bias_c, bias_f)`` when ``tune_biases`` (fine-tuning) else None.
 
-    save_hook(global_step, ls_c, ls_f): called at save points (checkpoint +
-    test renders are the caller's responsibility, mirroring run_nerf.py's
-    i_save block).
+    save_hook(global_step, ls_c, ls_f, opt_state): called at save points
+    (checkpoint + test renders are the caller's responsibility, mirroring
+    run_nerf.py's i_save block; the opt_state lets the caller persist the
+    Adam moments next to the mid-tune checkpoint — the reference carries
+    ``tuning_optimizer_state_dict`` the same way, utils.py:103-106).
+
+    ``opt_state0``: resume with saved optimizer state (Adam moments +
+    step count, so the lr schedule continues). Without it, a resume at
+    ``global_step0`` still offsets the schedule so the lr picks up at the
+    interrupted decay epoch rather than the base lr.
     """
-    schedule = make_lr_schedule(learning_rate, learning_rate_decay, n_iters)
+    schedule = make_lr_schedule(
+        learning_rate, learning_rate_decay, n_iters,
+        offset=global_step0 if opt_state0 is None else 0)
     optimizer = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
     if tune_biases:
         scales = {"ls": (ls_c, ls_f),
@@ -203,6 +216,23 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
     else:
         scales = (ls_c, ls_f)
     opt_state = optimizer.init(scales)
+    if opt_state0 is not None:
+        try:
+            leaves0 = jax.tree_util.tree_leaves(opt_state0)
+            treedef = jax.tree_util.tree_structure(opt_state)
+            ref_leaves = jax.tree_util.tree_leaves(opt_state)
+            assert len(leaves0) == len(ref_leaves)
+            assert all(np.shape(a) == np.shape(b)
+                       for a, b in zip(leaves0, ref_leaves))
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(l) for l in leaves0])
+        except Exception as e:  # structure mismatch: fresh moments
+            print(f"INFO: saved optimizer state incompatible ({e}); "
+                  f"restarting moments with schedule offset")
+            schedule = make_lr_schedule(learning_rate, learning_rate_decay,
+                                        n_iters, offset=global_step0)
+            optimizer = optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8)
+            opt_state = optimizer.init(scales)
     params = (params_c, params_f)
 
     if mesh is not None:
@@ -280,7 +310,7 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
             if i_save and (global_step == 1 or global_step % i_save == 0) \
                     and save_hook is not None:
                 cur_ls = scales["ls"] if isinstance(scales, dict) else scales
-                save_hook(global_step, cur_ls[0], cur_ls[1])
+                save_hook(global_step, cur_ls[0], cur_ls[1], opt_state)
         mean_psnr = float(np.mean(psnrs))
         mean_loss = float(np.mean(losses))
         if verbose:

@@ -147,6 +147,46 @@ def test_lsa_resume_from_checkpoint(tmp_path):
     assert abs(float(np.mean(some)) - 1.25) < 0.05
 
 
+def test_lsa_resume_restores_optimizer_state(tmp_path, capsys):
+    """Mid-tune checkpoints persist the Adam moments + step count in an
+    .opt.npz sidecar (the reference carries tuning_optimizer_state_dict,
+    utils.py:103-106); a resumed run loads them so the lr schedule and
+    momentum continue instead of restarting."""
+    scene, (tc, tf_) = synthetic.make_scene(
+        n_images=2, H=8, W=8, mlp=MLP,
+        rc=renderer.RenderConfig(mlp=MLP, n_samples=8, n_importance=4,
+                                 chunk=64))
+    scene["n_importance"] = 4
+    from nnc_tpu.train.presets import create_nerf_model_executer
+
+    sd = {}
+    sd.update(nerf.params_to_state_dict(tc, "model."))
+    sd.update(nerf.params_to_state_dict(tf_, "model_fine."))
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+
+    run = tmp_path / "run"
+    (run / "bitstream").mkdir(parents=True)
+    bs_path = str(run / "bitstream" / "b.nnc")
+
+    ex1 = create_nerf_model_executer(scene=scene, mlp_config=MLP, n_iters=4,
+                                     epochs=1, i_save=2, verbose=False)
+    ex1.tune_model(bs_path, parameters=dict(sd), param_types={},
+                   lsa_flag=True)
+    rec = run / "reconstructed"
+    assert (rec / "ckpt_step4.pt").exists()
+    assert (rec / "ckpt_step4.opt.npz").exists()
+
+    ex2 = create_nerf_model_executer(scene=scene, mlp_config=MLP, n_iters=6,
+                                     epochs=1, i_save=0, verbose=True)
+    ex2.resume = True
+    capsys.readouterr()
+    ex2.tune_model(bs_path, parameters=dict(sd), param_types={},
+                   lsa_flag=True)
+    out = capsys.readouterr().out
+    assert "resuming LSA from step 4" in out
+    assert "with optimizer state" in out
+
+
 def test_ndc_llff_style_lsa_smoke(tmp_path):
     """NDC path: viewdirs from pre-warp dirs, rays warped to NDC space."""
     scene, (tc, tf_) = synthetic.make_scene(
