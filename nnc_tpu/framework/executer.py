@@ -79,13 +79,13 @@ class NeRFModelExecuter(ModelExecute):
             ls_f = nerf.init_lsa_scales(cfg)
         return params_c, params_f, ls_c, ls_f
 
-    def _render_views(self, params_c, params_f, ls_c, ls_f, pose_indices,
-                      savedir=None):
+    def _render_poses(self, params_c, params_f, ls_c, ls_f, poses,
+                      savedir=None, names=None):
+        """Render an array of camera poses, through the occupancy fast mode
+        when enabled (one grid per call, amortized across all poses; NDC
+        scenes use the NDC-cube grid with pre-warp viewdirs)."""
         scene = self.scene
-        rgbs, psnrs = [], []
-        # occupancy fast mode: one grid from the fine network per call,
-        # amortized across all views (NDC-warped rays keep the exact path —
-        # the grid AABB is world-space)
+        rgbs = []
         grid = None
         is_ndc = bool(scene.get("ndc", False))
         if self.rc.use_occupancy_renders:
@@ -103,9 +103,9 @@ class NeRFModelExecuter(ModelExecute):
                     params_f if params_f is not None else params_c,
                     ls_f if params_f is not None else ls_c, self.rc.mlp,
                     lo=tuple(aabb[0]), hi=tuple(aabb[1]))
-        for vi in pose_indices:
+        for i, pose in enumerate(np.asarray(poses)):
             ro, rd = get_rays_np(scene["H"], scene["W"], scene["K"],
-                                 scene["poses"][vi, :3, :4])
+                                 pose[:3, :4])
             vd = None
             near, far = scene["near"], scene["far"]
             if is_ndc:
@@ -127,13 +127,22 @@ class NeRFModelExecuter(ModelExecute):
                                             viewdirs=vd)
             rgb = out["rgb_map"]
             rgbs.append(rgb)
-            gt = scene["images"][vi]
-            psnrs.append(mse2psnr(float(np.mean((rgb - gt) ** 2))))
             if savedir is not None:
                 import imageio.v2 as imageio
-                imageio.imwrite(os.path.join(savedir, f"{vi:03d}.png"),
+                name = names[i] if names is not None else i
+                imageio.imwrite(os.path.join(savedir, f"{name:03d}.png"),
                                 to8b(rgb))
-        return np.stack(rgbs), psnrs
+        return np.stack(rgbs)
+
+    def _render_views(self, params_c, params_f, ls_c, ls_f, pose_indices,
+                      savedir=None):
+        scene = self.scene
+        rgbs = self._render_poses(params_c, params_f, ls_c, ls_f,
+                                  scene["poses"][np.asarray(pose_indices)],
+                                  savedir=savedir, names=pose_indices)
+        psnrs = [mse2psnr(float(np.mean((rgbs[i] - scene["images"][vi]) ** 2)))
+                 for i, vi in enumerate(pose_indices)]
+        return rgbs, psnrs
 
     # -- ModelExecute interface --------------------------------------------
     def tune_model(self, bitstream_path, parameters, param_types,
@@ -202,26 +211,13 @@ class NeRFModelExecuter(ModelExecute):
             moviedir = os.path.join(basedir_save, "movies")
             os.makedirs(moviedir, exist_ok=True)
             # spiral render-path video from render_poses (reference:
-            # run_nerf.py:781-794 writes the render_poses mp4 at i_save)
+            # run_nerf.py:781-794 writes the render_poses mp4 at i_save);
+            # rides the occupancy fast mode when enabled, like the testsets
             spiral_frames = None
             rposes = scene.get("render_poses")
             if rposes is not None and len(rposes):
-                spiral = []
-                for pose in np.asarray(rposes):
-                    ro, rd = get_rays_np(scene["H"], scene["W"], scene["K"],
-                                         pose[:3, :4])
-                    vd = None
-                    if scene.get("ndc", False):
-                        vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
-                        ro_j, rd_j = ndc_rays(
-                            scene["H"], scene["W"], float(scene["K"][0][0]),
-                            1.0, jnp.asarray(ro), jnp.asarray(rd))
-                        ro, rd = np.asarray(ro_j), np.asarray(rd_j)
-                    out = renderer.render_image(
-                        params_c, params_f, cur_ls_c, cur_ls_f, ro, rd,
-                        scene["near"], scene["far"], self.rc, viewdirs=vd)
-                    spiral.append(out["rgb_map"])
-                spiral_frames = np.stack(spiral)
+                spiral_frames = self._render_poses(
+                    params_c, params_f, cur_ls_c, cur_ls_f, rposes)
             def write_video(name, frames):
                 import imageio.v2 as imageio
                 try:
