@@ -87,7 +87,9 @@ def compress_model(model_path_or_object,
                    mesh=None,
                    use_fused_mlp=False,
                    occupancy_renders=False,
-                   occupancy_tuning=False):
+                   occupancy_tuning=False,
+                   decompose_rank=None,
+                   decompose_energy=None):
     """Compress a model (torch module, state dict, flat numpy dict, or file
     path) into an NNR bitstream. (reference: nnc/compression.py:74-315)"""
     from .framework import tf_io, torch_io
@@ -138,12 +140,22 @@ def compress_model(model_path_or_object,
     if (lsa or fine_tune or ioq) and model_executer is None \
             and task_type == "NeRF":
         from .train.presets import create_nerf_model_executer
-        model_executer = create_nerf_model_executer(
-            dataset_type=dataset_type, dataset_path=dataset_path,
-            scene=scene, learning_rate=learning_rate, epochs=epochs,
-            learning_rate_decay=learning_rate_decay, n_iters=N_iters,
-            i_save=i_save, mlp_config=mlp_config, mesh=mesh,
-            use_fused_mlp=use_fused_mlp, verbose=verbose)
+        try:
+            model_executer = create_nerf_model_executer(
+                dataset_type=dataset_type, dataset_path=dataset_path,
+                scene=scene, learning_rate=learning_rate, epochs=epochs,
+                learning_rate_decay=learning_rate_decay, n_iters=N_iters,
+                i_save=i_save, mlp_config=mlp_config, mesh=mesh,
+                use_fused_mlp=use_fused_mlp, verbose=verbose)
+        except Exception as e:
+            # graceful degradation, mirroring the reference's capability
+            # gating (nnc/compression.py:424-436): a missing dataset or
+            # scene disables the executer-dependent stages with an INFO
+            # instead of failing the whole compression
+            print(f"INFO: could not create a NeRF model executer ({e}); "
+                  f"lsa/fine_tune/ioq will be disabled by capability "
+                  f"gating.")
+            model_executer = None
         if occupancy_renders or occupancy_tuning:
             import dataclasses
             model_executer.rc = dataclasses.replace(
@@ -177,6 +189,8 @@ def compress_model(model_path_or_object,
         model_executer=model_executer,
         verbose=verbose,
         return_bitstream=return_bitstream,
+        decompose_rank=decompose_rank,
+        decompose_energy=decompose_energy,
     )
 
     if return_model_data and return_bitstream:

@@ -454,58 +454,95 @@ def codebook_approx(approx_info, model_info, approx_data_in, param_opt=0,
     choice vs uniform. (reference: codebook.py:172-325)"""
     approx_data_out = {k: copy.copy(v) for k, v in approx_data_in.items()}
     culm1 = approx_info["cabac_unary_length_minus1"]
-    for par_type, param in _iter_to_approximate(approx_info, model_info,
-                                                approx_data_in):
-        if par_type not in W_TYPES:
-            # codebook coding is scoped to weight tensors; companions stay
-            # uniform (divergence from reference, see module docstring).
-            continue
+
+    def _prepare(param):
+        """Quantize + codebook stats for one tensor; returns dict of both
+        options and their coded sizes (mode 2 needs them)."""
         qp_off = 0
         if approx_info["dq_flag"][param] == 1:
             qp_off = common.compute_qp_offset_to_dq_equivalent(
                 int(approx_data_out["qp_density"]))
             if verbose:
-                print("INFO: Dependent quantization (DQ) cannot be used with "
-                      f"'codebook'. QP changed by {-qp_off} for similar "
-                      "performance.")
+                print("INFO: Dependent quantization (DQ) cannot be used "
+                      "with 'codebook'. QP changed by "
+                      f"{-qp_off} for similar performance.")
         enc_qp = int(approx_info["qp"][param]) - qp_off
         q, qp = _quant_one(approx_info, approx_data_in, param, 0, enc_qp)
         if qp != enc_qp and verbose:
             print(f"INFO: QP for {param} clipped from {enc_qp} to {qp}!")
-        approx_data_out["qp"][param] = qp
-
         codebook, indexes = derive_sorted_codebook_from_tensor(q)
         codebook, indexes, cb_offset = get_codebook_offset(codebook, indexes,
                                                            culm1)
         egk, _ = get_best_egk(codebook, cb_offset)
-
-        def _select_codebook():
-            approx_data_out["parameters"][param] = indexes
-            approx_data_out["codebooks"][param] = codebook
-            approx_data_out["approx_method"][param] = "codebook"
-            approx_data_out["dq_flag"][param] = 0
-            approx_data_out["codebook_zero_offsets"][param] = cb_offset
-            approx_data_out["codebooks_egk"][param] = egk
-
-        if approx_info["codebook_mode"] == 1:
-            _select_codebook()
-        elif approx_info["codebook_mode"] == 2:
+        st = {"q": q, "qp": qp, "codebook": codebook, "indexes": indexes,
+              "cb_offset": cb_offset, "egk": egk}
+        if approx_info["codebook_mode"] == 2:
             dq_flag = int(approx_info["dq_flag"][param])
             q_uni, qp_uni = q, qp
             if dq_flag == 1:  # re-quantize with DQ at the original qp
-                q_uni, qp_uni = _quant_one(approx_info, approx_data_in, param,
-                                           1, int(approx_info["qp"][param]))
+                q_uni, qp_uni = _quant_one(approx_info, approx_data_in,
+                                           param, 1,
+                                           int(approx_info["qp"][param]))
             so = int(approx_data_in["scan_order"].get(param, 0))
-            bytes_uni = _encoded_size(q_uni, dq_flag, so, culm1, param_opt)
-            bytes_cb = _encoded_size(indexes, 0, so, culm1, param_opt) + \
-                get_codebook_bytes(codebook, cb_offset, egk)
-            if bytes_cb < bytes_uni:
-                _select_codebook()
+            st.update(
+                q_uni=q_uni, qp_uni=qp_uni, dq_flag=dq_flag,
+                bytes_uni=_encoded_size(q_uni, dq_flag, so, culm1,
+                                        param_opt),
+                bytes_cb=_encoded_size(indexes, 0, so, culm1, param_opt)
+                + get_codebook_bytes(codebook, cb_offset, egk))
+        return st
+
+    def _select_codebook(param, st):
+        approx_data_out["qp"][param] = st["qp"]
+        approx_data_out["parameters"][param] = st["indexes"]
+        approx_data_out["codebooks"][param] = st["codebook"]
+        approx_data_out["approx_method"][param] = "codebook"
+        approx_data_out["dq_flag"][param] = 0
+        approx_data_out["codebook_zero_offsets"][param] = st["cb_offset"]
+        approx_data_out["codebooks_egk"][param] = st["egk"]
+
+    def _select_uniform(param, st):
+        approx_data_out["qp"][param] = st["qp_uni"]
+        approx_data_out["parameters"][param] = st["q_uni"]
+        approx_data_out["approx_method"][param] = "uniform"
+        approx_data_out["dq_flag"][param] = st["dq_flag"]
+
+    handled = set()
+    for par_type, param in _iter_to_approximate(approx_info, model_info,
+                                                approx_data_in):
+        if param in handled:
+            continue
+        if par_type not in W_TYPES:
+            # codebook coding is scoped to weight tensors; companions stay
+            # uniform (divergence from reference, see module docstring).
+            continue
+        # DC-decomposed G/H pairs share one codebook_present_flag in the
+        # NDU syntax, so the method choice must be JOINT (an independent
+        # mode-2 RD choice could diverge and produce an unencodable unit)
+        pair = None
+        if param.endswith("_G"):
+            cand = param[:-2] + "_H"
+            if cand in approx_data_in["parameters"]:
+                pair = cand
+        st = _prepare(param)
+        if approx_info["codebook_mode"] == 1:
+            _select_codebook(param, st)
+            continue
+        if pair is None:
+            if st["bytes_cb"] < st["bytes_uni"]:
+                _select_codebook(param, st)
             else:
-                approx_data_out["qp"][param] = qp_uni
-                approx_data_out["parameters"][param] = q_uni
-                approx_data_out["approx_method"][param] = "uniform"
-                approx_data_out["dq_flag"][param] = dq_flag
+                _select_uniform(param, st)
+        else:
+            st2 = _prepare(pair)
+            handled.add(pair)
+            if st["bytes_cb"] + st2["bytes_cb"] < \
+                    st["bytes_uni"] + st2["bytes_uni"]:
+                _select_codebook(param, st)
+                _select_codebook(pair, st2)
+            else:
+                _select_uniform(param, st)
+                _select_uniform(pair, st2)
     return approx_data_out, approx_info
 
 

@@ -62,6 +62,26 @@ def test_decomposed_bitstream_roundtrip(tmp_path):
     assert os.path.getsize(bs) < os.path.getsize(bs2)
 
 
+def test_decomposed_codebook_mode2_pairs_stay_consistent(tmp_path):
+    """G/H pairs share one codebook_present_flag in the NDU syntax, so the
+    mode-2 RD choice must be joint — a diverging per-tensor choice made the
+    unit unencodable (found by fuzzing: AssertionError in compile_ndu)."""
+    rng = np.random.default_rng(3)
+    d = low_rank_dict(rng)
+    for seed in range(4):
+        rng2 = np.random.default_rng(seed)
+        d2 = {k: (v * (1 + 0.5 * rng2.random())).astype(np.float32)
+              for k, v in d.items()}
+        bs = str(tmp_path / f"cb{seed}.nnc")
+        nnc_tpu.compress(d2, bitstream_path=bs, qp=-27,
+                         block_id_and_param_type=block_map(d2),
+                         decompose_energy=0.999, codebook_mode=2,
+                         scan_order=1, verbose=False)
+        rec = nnc_tpu.decompress(bs, verbose=False)
+        assert rec["layer.weight"].shape == d2["layer.weight"].shape
+        assert np.isfinite(rec["layer.weight"]).all()
+
+
 def test_decompose_skips_when_not_worth_it():
     rng = np.random.default_rng(2)
     d = {"layer.weight": rng.normal(0, 0.3, (8, 8)).astype(np.float32),
