@@ -210,3 +210,42 @@ def test_truncated_bitstream_raises(cut):
     _d, bs = _small_bitstream()
     with pytest.raises((ValueError, AssertionError)):
         compression.decompress(bytes(bs[:len(bs) - cut]), verbose=False)
+
+
+def test_corrupted_bitstreams_fail_cleanly():
+    """Bit flips, truncations, and spliced garbage must raise clean Python
+    exceptions (or silently decode when padding is hit) — never hang,
+    exhaust memory, or crash the native decoder (its byte reader is
+    bounds-checked). 60 seeded corruptions of a DQ+scan_order+codebook
+    stream."""
+    rng = np.random.default_rng(0)
+    d = {"layer.weight": (rng.standard_normal((32, 64)) * 0.1
+                          ).astype(np.float32),
+         "layer.bias": (rng.standard_normal(32) * 0.1).astype(np.float32)}
+    bm = {"block_identifier": {k: "b0" for k in d},
+          "parameter_type": {"layer.weight": "weight",
+                             "layer.bias": "bias"}}
+    bs = compression.compress(d, bitstream_path=None, qp=-24, use_dq=True,
+                              scan_order=1, codebook_mode=2,
+                              block_id_and_param_type=bm,
+                              return_bitstream=True, verbose=False)
+    for trial in range(60):
+        b = bytearray(bs)
+        mode = rng.integers(0, 3)
+        if mode == 0:
+            for _ in range(int(rng.integers(1, 5))):
+                b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        elif mode == 1:
+            b = b[:int(rng.integers(1, len(b)))]
+        else:
+            at = int(rng.integers(0, len(b)))
+            b = b[:at] + bytes(rng.integers(0, 256, 16, dtype=np.uint8)) \
+                + b[at:]
+        try:
+            rec = compression.decompress(bytes(b), verbose=False)
+            for v in rec.values():
+                np.asarray(v)
+        except MemoryError:  # pragma: no cover
+            raise AssertionError("unbounded allocation on corrupt stream")
+        except Exception:
+            pass  # clean failure
