@@ -46,6 +46,14 @@ class OccupancyGrid:
     # back to the full [near, far] range.
     occ_lo: Optional[Tuple[float, float, float]] = None
     occ_hi: Optional[Tuple[float, float, float]] = None
+    # True when the grid's OUTER SHELL has significant occupancy: density
+    # leaks through the AABB boundary (fog-like scenes, wrong bounds), so
+    # the "outside the grid is empty" premise is violated. Selection then
+    # treats out-of-box points as OCCUPIED and sweeps the full [near, far]
+    # range — conservative integration at stride granularity instead of
+    # silently dropping real density (measured: a fog teacher rendered at
+    # 49 dB devPSNR this way vs 18 dB with out-of-box treated empty).
+    open_boundary: bool = False
 
     @property
     def res(self) -> int:
@@ -57,10 +65,12 @@ class OccupancyGrid:
 # program across views instead of retracing per call
 jax.tree_util.register_pytree_node(
     OccupancyGrid,
-    lambda g: ((g.occ, g.occ_bits), (g.lo, g.hi, g.occ_lo, g.occ_hi)),
+    lambda g: ((g.occ, g.occ_bits),
+               (g.lo, g.hi, g.occ_lo, g.occ_hi, g.open_boundary)),
     lambda aux, ch: OccupancyGrid(occ=ch[0], occ_bits=ch[1],
                                   lo=aux[0], hi=aux[1],
-                                  occ_lo=aux[2], occ_hi=aux[3]))
+                                  occ_lo=aux[2], occ_hi=aux[3],
+                                  open_boundary=aux[4]))
 
 
 def _pack_bits(occ_np) -> Optional[jnp.ndarray]:
@@ -116,6 +126,16 @@ def build_occupancy_grid(params, ls, config: nerf.NeRFConfig, *,
     sigma = np.concatenate(sigmas).reshape(res, res, res)
 
     occ = sigma > sigma_threshold
+    # boundary-leak detection BEFORE dilation (dilation smears interior
+    # occupancy onto the shell): if the outermost voxel shell carries
+    # significant density, the scene extends past the AABB and the
+    # "outside is empty" premise fails — selection switches to the
+    # conservative open-boundary mode (see OccupancyGrid.open_boundary)
+    shell = np.zeros_like(occ)
+    shell[[0, -1], :, :] = True
+    shell[:, [0, -1], :] = True
+    shell[:, :, [0, -1]] = True
+    open_boundary = bool(occ[shell].mean() > 0.02)
     if dilate:
         from scipy import ndimage
         occ = ndimage.binary_dilation(occ, iterations=dilate)
@@ -131,7 +151,7 @@ def build_occupancy_grid(params, ls, config: nerf.NeRFConfig, *,
         occ_lo, occ_hi = tuple(occ_lo), tuple(occ_hi)
     return OccupancyGrid(occ=jnp.asarray(occ), lo=tuple(lo), hi=tuple(hi),
                          occ_bits=_pack_bits(occ), occ_lo=occ_lo,
-                         occ_hi=occ_hi)
+                         occ_hi=occ_hi, open_boundary=open_boundary)
 
 
 def lookup(grid: OccupancyGrid, pts):
@@ -155,9 +175,15 @@ def _lookup_coords(grid: OccupancyGrid, px, py, pz):
     flat = (idx[0] * res + idx[1]) * res + idx[2]
     if grid.occ_bits is not None:
         word = jnp.take(grid.occ_bits, flat // 32)
-        bit = (word >> (flat % 32).astype(jnp.uint32)) & jnp.uint32(1)
-        return (bit > 0) & inside
-    return jnp.take(grid.occ.reshape(-1), flat) & inside
+        hit = (word >> (flat % 32).astype(jnp.uint32)) & jnp.uint32(1) > 0
+    else:
+        hit = jnp.take(grid.occ.reshape(-1), flat)
+    if grid.open_boundary:
+        # density leaks past the AABB: out-of-box space is unknown, treat
+        # it as occupied (conservative — samples there integrate the true
+        # density; the kernel never consults the grid)
+        return hit | ~inside
+    return hit & inside
 
 
 def _ray_span(grid: OccupancyGrid, rays_o, rays_d, near, far):
@@ -170,7 +196,8 @@ def _ray_span(grid: OccupancyGrid, rays_o, rays_d, near, far):
     shape = rays_o.shape[:-1]
     t0 = jnp.full(shape, jnp.float32(near))
     t1 = jnp.full(shape, jnp.float32(far))
-    if grid.occ_lo is None:
+    if grid.occ_lo is None or grid.open_boundary:
+        # open boundary: density continues outside the box, sweep it all
         return t0, t1
     for d in range(3):
         o, dd = rays_o[..., d], rays_d[..., d]

@@ -185,6 +185,39 @@ def test_render_image_fast_sharded_matches_single():
     assert sharded["rgb_map"].shape == (H, W, 3)
 
 
+def test_open_boundary_fog_scene_stays_accurate():
+    """Scenes whose density leaks past the grid AABB (fog-like teachers,
+    wrong bounds) violate the 'outside is empty' premise. The build-time
+    boundary-shell check flips open_boundary, out-of-box candidates count
+    as occupied, and the sweep covers [near, far] — the render degrades to
+    budget-limited stride integration instead of silently dropping real
+    density (regression: a fog teacher rendered at 18 dB devPSNR with
+    out-of-box treated empty; ~50 dB conservative)."""
+    mlp = nerf.NeRFConfig()
+    # a sphere larger than the AABB: density continues through and beyond
+    # every grid boundary face
+    params = make_solid_mlp(mlp, radius=4.0, density=8.0)
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    assert grid.open_boundary
+
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False, early_term_eps=0.0)
+    H, W = 16, 16
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    pose = look_at_poses(1, seed=0)[0]
+    ro, rd = get_rays_np(H, W, K, pose[:3, :4])
+    exact = renderer.render_image(params, None, None, None, ro, rd,
+                                  2.0, 6.0, rc)
+    fast = occupancy.render_image_fast(
+        params, None, ro, rd, 2.0, 6.0, rc, grid,
+        n_candidates=64, budget=48, subsample=2, row_chunk=8)
+    d = np.abs(fast["rgb_map"] - exact["rgb_map"])
+    assert d.max() < 0.08, d.max()
+
+
 def test_render_image_fast_ndc_matches_exact():
     """NDC (LLFF-family) frame renders through the fast mode: warped rays
     integrate t in [0, 1] inside the NDC cube with pre-warp viewdirs
