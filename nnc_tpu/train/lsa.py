@@ -138,21 +138,24 @@ def make_scan_train_step(rc: renderer.RenderConfig, optimizer, grid=None,
     loss_fn = _make_loss(rc, grid, occ_candidates, occ_budget)
 
     @jax.jit
-    def scan_step(scales, opt_state, params, rays_o, rays_d, viewdirs,
-                  target, near, far, keys):
+    def scan_step(scales, opt_state, params, packed, near, far, keys):
+        # ``packed``: (K, N, 12) = [rays_o | rays_d | viewdirs | target]
+        # concatenated on the host — ONE device upload per call instead of
+        # four (each host->device transfer pays full latency on tunneled
+        # links; measured ~9.5 ms/step at K=8 with separate arrays)
         def body(carry, batch):
             sc, st = carry
-            b_ro, b_rd, b_vd, b_tgt, k = batch
+            b, k = batch
             (loss, img_loss), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(
-                    sc, params, b_ro, b_rd, b_vd, b_tgt, near, far, k, rc)
+                    sc, params, b[..., 0:3], b[..., 3:6], b[..., 6:9],
+                    b[..., 9:12], near, far, k, rc)
             updates, st = optimizer.update(grads, st, sc)
             sc = optax.apply_updates(sc, updates)
             return (sc, st), (loss, img_loss)
 
         (scales, opt_state), (losses, img_losses) = jax.lax.scan(
-            body, (scales, opt_state),
-            (rays_o, rays_d, viewdirs, target, keys))
+            body, (scales, opt_state), (packed, keys))
         return scales, opt_state, losses, img_losses
 
     return scan_step
@@ -287,12 +290,11 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
             # step program compiles once).
             if use_scan and k == steps_per_call:
                 bs = [get_batch() for _ in range(k)]
-                ro, rd, vd, tgt = (np.stack([b[j] for b in bs])
-                                   for j in range(4))
+                packed = np.stack(
+                    [np.concatenate(b, axis=-1) for b in bs])
                 key, *subs = jax.random.split(key, k + 1)
                 scales, opt_state, loss_arr, il_arr = scan_step(
-                    scales, opt_state, params, jnp.asarray(ro),
-                    jnp.asarray(rd), jnp.asarray(vd), jnp.asarray(tgt),
+                    scales, opt_state, params, jnp.asarray(packed),
                     near, far, jnp.stack(subs))
                 for lv, iv in zip(np.asarray(loss_arr), np.asarray(il_arr)):
                     record(float(iv), float(lv))
