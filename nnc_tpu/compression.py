@@ -156,7 +156,8 @@ def compress_model(model_path_or_object,
                   f"lsa/fine_tune/ioq will be disabled by capability "
                   f"gating.")
             model_executer = None
-        if occupancy_renders or occupancy_tuning:
+        if model_executer is not None and (occupancy_renders
+                                           or occupancy_tuning):
             import dataclasses
             model_executer.rc = dataclasses.replace(
                 model_executer.rc,

@@ -478,7 +478,8 @@ def render_image_fast(params, ls, rays_o, rays_d, near, far, rc,
             occ=replicate_params(mesh, grid.occ), lo=grid.lo, hi=grid.hi,
             occ_bits=None if grid.occ_bits is None
             else replicate_params(mesh, grid.occ_bits),
-            occ_lo=grid.occ_lo, occ_hi=grid.occ_hi)
+            occ_lo=grid.occ_lo, occ_hi=grid.occ_hi,
+            open_boundary=grid.open_boundary)
         frame_fn = _mesh_frame_fn(mesh)
     else:
         put = jnp.asarray

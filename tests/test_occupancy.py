@@ -218,6 +218,38 @@ def test_open_boundary_fog_scene_stays_accurate():
     assert d.max() < 0.08, d.max()
 
 
+def test_open_boundary_survives_mesh_frame_render():
+    """The shard_map frame path rebuilds the replicated OccupancyGrid; it
+    must carry open_boundary through (regression: round 2 dropped it,
+    silently re-enabling 'outside is empty' on multi-chip fog renders —
+    the exact ~18 dB density-drop failure the boundary detection fixes)."""
+    from nnc_tpu import parallel
+
+    mlp = nerf.NeRFConfig()
+    params = make_solid_mlp(mlp, radius=4.0, density=8.0)
+    grid = occupancy.build_occupancy_grid(params, None, mlp, res=32,
+                                          use_fused=False, chunk=32768)
+    assert grid.open_boundary
+
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=64, n_importance=0,
+                               perturb=False, early_term_eps=0.0)
+    H, W = 16, 16
+    focal = 0.8 * W
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]],
+                 np.float32)
+    pose = look_at_poses(1, seed=0)[0]
+    ro, rd = get_rays_np(H, W, K, pose[:3, :4])
+    single = occupancy.render_image_fast(
+        params, None, ro, rd, 2.0, 6.0, rc, grid,
+        n_candidates=64, budget=48, subsample=2, row_chunk=8)
+    mesh = parallel.make_mesh(4, ("data",))
+    sharded = occupancy.render_image_fast(
+        params, None, ro, rd, 2.0, 6.0, rc, grid,
+        n_candidates=64, budget=48, subsample=2, row_chunk=16, mesh=mesh)
+    d = np.abs(single["rgb_map"] - sharded["rgb_map"])
+    assert d.max() < 0.06, d.max()
+
+
 def test_render_image_fast_ndc_matches_exact():
     """NDC (LLFF-family) frame renders through the fast mode: warped rays
     integrate t in [0, 1] inside the NDC cube with pre-warp viewdirs

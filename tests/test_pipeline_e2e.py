@@ -72,6 +72,26 @@ def test_compress_model_with_lsa_smoke(tmp_path):
     assert len(psnr) == 4 and len(loss) == 4
 
 
+def test_capability_gating_with_occupancy_flags(tmp_path, capsys):
+    """compress_model(lsa=True, occupancy_renders/tuning=True) without a
+    dataset must degrade gracefully (INFO + compression completes without
+    LSA), not AttributeError on the None executer (regression: the round-2
+    occupancy-flag block dereferenced model_executer.rc after the except
+    path set it to None; reference gating: nnc/compression.py:424-436)."""
+    sd, _ = make_wrapper_state_dict()
+    bs_path = str(tmp_path / "b.nnc")
+    nnc_tpu.compress_model(
+        sd, bitstream_path=bs_path, qp=-38, lsa=True, verbose=False,
+        task_type="NeRF", dataset_path=str(tmp_path / "missing_dataset"),
+        occupancy_renders=True, occupancy_tuning=True)
+    out = capsys.readouterr().out
+    assert "could not create a NeRF model executer" in out
+    assert "lsa requires a model executer; disabled" in out
+    assert os.path.getsize(bs_path) > 0
+    rec = nnc_tpu.decompress(bs_path, verbose=False)
+    assert set(rec.keys()) == set(sd.keys())
+
+
 def test_tar_pt_roundtrip(tmp_path):
     sd, _ = make_wrapper_state_dict(seed=3)
     tar_path = str(tmp_path / "ckpt.tar")
