@@ -212,7 +212,7 @@ def compile_ndu(param, approx_data, enc_info, model_info, is_block, cpt,
 # ---------------------------------------------------------------------------
 def _encode_ndu_payload(block_or_param, approx_data, enc_info, mps_qp):
     """CABAC-encode all coded tensors of one NDU; returns (payload bytes,
-    [(eps, dq)] for >=2-D tensors)."""
+    [eps] for >=2-D tensors)."""
     culm1 = enc_info["cabac_unary_length_minus1"]
     param_opt = enc_info.get("param_opt_flag", 0)
     qp_density = int(approx_data["qp_density"])
@@ -230,7 +230,7 @@ def _encode_ndu_payload(block_or_param, approx_data, enc_info, mps_qp):
             enc.iae_v(6 + qp_density, qp_delta)
         enc.encodeLayer(values, dq, scan)
         if values.ndim > 1 and scan > 0:
-            ep_lists.append((enc.getEntryPoints(), dq))
+            ep_lists.append(enc.getEntryPoints())
         enc.terminate_segment()
     return enc.finish().tobytes(), ep_lists
 
@@ -429,7 +429,7 @@ def _decode_ndu(h, payload, approx_data, model_info, next_index):
         out = np.zeros(shape, dtype=np.int32)
         tensor_scan = scan if len(shape) > 1 else 0
         if tensor_scan > 0 and ep_lists:
-            eps, _ep_dq = ep_lists.pop(0)
+            eps = ep_lists.pop(0)
             dec.setEntryPoints(np.asarray(eps, dtype=np.uint64))
         dec.decodeLayer(out, dq, tensor_scan)
         dec.terminate_segment()
@@ -525,6 +525,12 @@ def decode(bitstream, model_info=None, num_workers: int = 0):
         if first:
             assert utype == hls.NnrUnitType.NNR_STR, \
                 "bitstream must start with NNR_STR"
+            version = h.get("nnc_tpu_format_version", 0)
+            if version > hls.FORMAT_VERSION:
+                raise ValueError(
+                    f"bitstream format version {version} is newer than this "
+                    f"decoder supports ({hls.FORMAT_VERSION}); upgrade "
+                    f"nnc_tpu to decode it")
             first = False
         if utype is None:
             pass  # unknown unit type: skipped by size (parse tolerance)

@@ -16,6 +16,13 @@ import numpy as np
 
 assert sys.byteorder == "little"
 
+# Version of this implementation's (self-defined) bitstream layout, written
+# into every NNR_STR unit and checked on decode. The layout intentionally
+# diverges from ISO/IEC 15938-17 (docs/BITSTREAM.md); self-consistency is the
+# compatibility contract, so any layout change MUST bump this and the golden
+# fixtures under tests/golden/ (byte-identity tests pin the current layout).
+FORMAT_VERSION = 1
+
 
 class NnrUnitType(enum.IntEnum):
     NNR_STR = 0
@@ -161,23 +168,25 @@ class BitWriter:
     def cb_zero_offset(self, codebook_size: int, cb_zero_offset: int) -> None:
         self.ie(2, cb_zero_offset - (codebook_size >> 1))
 
-    def entry_point_list(self, block_rows_minus1: int, dq_flag: int, eps) -> None:
-        """CABAC entry points: ep = (bit_offset << 11) | (byte_value << 3) | dq_state.
+    def entry_point_list(self, block_rows_minus1: int, eps) -> None:
+        """CABAC entry points: byte offsets only (first absolute ue, the
+        rest delta-coded ie).
 
-        First bit_offset absolute (ue), the rest delta-coded (ie).
-        (reference hls/__init__.py:136-148 layout.)"""
+        The in-memory representation keeps the native codec's packed uint64
+        (offset << 11); only the offset is serialized. The reference's
+        3-field shape (offset, byte value, dq state; hls/__init__.py:136-148)
+        exists so its decoder can resume the arithmetic engine mid-stream —
+        this implementation instead restarts the engine, contexts, and DQ
+        state at byte-aligned chunk boundaries (native/deepcabac.cpp
+        encode_layer_impl), which makes the value/state fields dead by
+        construction; they are omitted from the written syntax
+        (docs/BITSTREAM.md)."""
         for j in range(block_rows_minus1):
-            ep = int(eps[j])
-            bit_offset = ep >> 11
-            value = (ep >> 3) & 255
-            dq_state = ep & 7
-            self.u(8, value)
-            if dq_flag:
-                self.u(3, dq_state)
+            offset = int(eps[j]) >> 11
             if j == 0:
-                self.ue(11, bit_offset)
+                self.ue(11, offset)
             else:
-                self.ie(7, bit_offset - (int(eps[j - 1]) >> 11))
+                self.ie(7, offset - (int(eps[j - 1]) >> 11))
 
 
 class BitReader:
@@ -281,16 +290,14 @@ class BitReader:
     def cb_zero_offset(self, codebook_size: int) -> int:
         return self.ie(2) + (codebook_size >> 1)
 
-    def entry_point_list(self, block_rows_minus1: int, dq_flag: int):
+    def entry_point_list(self, block_rows_minus1: int):
         eps = []
-        prev_bit_offset = 0
+        prev_offset = 0
         for j in range(block_rows_minus1):
-            value = self.u(8)
-            dq_state = self.u(3) if dq_flag else 0
             if j == 0:
-                bit_offset = self.ue(11)
+                offset = self.ue(11)
             else:
-                bit_offset = prev_bit_offset + self.ie(7)
-            prev_bit_offset = bit_offset
-            eps.append((bit_offset << 11) | (value << 3) | dq_state)
+                offset = prev_offset + self.ie(7)
+            prev_offset = offset
+            eps.append(offset << 11)
         return eps

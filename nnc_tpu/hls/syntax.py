@@ -38,11 +38,17 @@ def _write_unit_header(w: BitWriter, h: dict) -> None:
 # Unit payloads
 # ---------------------------------------------------------------------------
 def _write_str(w: BitWriter, h: dict) -> None:
+    from . import FORMAT_VERSION
     w.u(8, h.get("general_profile_idc", 0))
+    # format-version field (this implementation's own layout contract; not
+    # in the reference STR payload): decoders reject streams written by a
+    # newer, incompatible layout instead of misparsing them
+    w.u(8, h.get("nnc_tpu_format_version", FORMAT_VERSION))
 
 
 def _read_str(r: BitReader, h: dict) -> None:
     h["general_profile_idc"] = r.u(8)
+    h["nnc_tpu_format_version"] = r.u(8)
 
 
 # ---------------------------------------------------------------------------
@@ -364,9 +370,9 @@ def _write_ndu(w: BitWriter, h: dict) -> None:
         if int(h.get("scan_order", 0)) > 0:
             # entry-point lists: one list per coded tensor that chunks, in
             # payload order; counts are derivable from dims + scan_order.
-            for eps, dq in h.get("cabac_entry_point_lists", []):
+            for eps in h.get("cabac_entry_point_lists", []):
                 w.ue(5, len(eps))
-                w.entry_point_list(len(eps), dq, eps)
+                w.entry_point_list(len(eps), eps)
     w.byte_alignment()
 
     if pt == _PT.NNR_PT_RAW_FLOAT:
@@ -452,20 +458,16 @@ def _read_ndu(r: BitReader, h: dict, oob=None) -> None:
         if h["scan_order"] > 0:
             # Only the >=2-D tensors of the unit carry entry points (block
             # companions are 1-D): one list for the weight, or two when the
-            # block carries G/H decomposition factors.
+            # block carries G/H decomposition factors. Entry points are
+            # byte offsets only (chunk segments restart the engine/contexts/
+            # DQ state, so no mid-stream resume fields exist).
             n_lists = 2 if (pt == _PT.NNR_PT_BLOCK and
                             (h.get("compressed_parameter_types", 0) &
                              BlockParameterTypes.NNR_CPT_DC)) else 1
-            # The weight/G/H lists describe the *tensor's* arithmetic-engine
-            # state: codebook-indexed tensors always code with dq=0, so their
-            # EP lists carry no dq_state field regardless of the unit header's
-            # dq_flag (which describes the uniform-coded companions). Mirrors
-            # the encoder (coder/__init__.py:_encode_ndu_payload).
-            dq = 0 if h.get("codebook_present_flag") else int(h["dq_flag"])
             lists = []
             for _ in range(n_lists):
                 n = r.ue(5)
-                lists.append((r.entry_point_list(n, dq), dq))
+                lists.append(r.entry_point_list(n))
             h["cabac_entry_point_lists"] = lists
     r.byte_alignment()
 
