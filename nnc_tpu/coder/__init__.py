@@ -10,7 +10,11 @@ Differences from the reference (documented, self-consistent):
     instead of re-decoding each NDU (optional `verify` mode re-decodes).
   * Each coded tensor's arithmetic-engine segment is byte-aligned, so NDUs
     can be decoded tensor-parallel on host CPU workers.
-  * Codebook coding applies to weight tensors only; companions stay uniform.
+  * A block whose companion cannot share the block header (codebook-coded,
+    integer-skip, or dq-inconsistent) keeps its groupable members in the
+    block NDU (cpt bits masked) and emits only the offenders as
+    single-tensor NDUs — the reference splits the whole block
+    (coder/__init__.py:11-38); partial split preserves DC shape metadata.
 """
 from __future__ import annotations
 
@@ -26,9 +30,65 @@ _PT = hls.CompressedDataUnitPayloadType
 _CPT = hls.BlockParameterTypes
 
 
+def _partition_block(block_access, approx_data):
+    """Split a block into (kept_cpt, split_names): members that cannot ride
+    the shared block header get their own single-tensor NDU.
+
+    The block NDU header carries exactly one dq_flag and codebook fields
+    only for the weight (plus its DC pair), so a companion that is
+    codebook-coded, integer-skip, or dq-inconsistent with the rest is
+    un-groupable (reference full-split rules: coder/__init__.py:11-38; this
+    encoder splits only the offending members and masks their cpt bits —
+    docs/BITSTREAM.md "partial block split").
+
+    Returns ``kept_cpt=None`` when the weight itself cannot anchor a block
+    NDU (integer-skip weight), in which case every member splits."""
+    cpt = approx_data["compressed_parameter_types"][block_access.block_id]
+    am = approx_data["approx_method"]
+    members = list(block_access.param_generator(
+        approx_data["compressed_parameter_types"]))
+    w_names = {p for t, p, _ in members if t.endswith("weight")}
+    if any(am.get(p) == "skip" for p in w_names):
+        return None, [p for _t, p, _d in members]
+    # the unit's single dq_flag: the weight's if it codes uniform,
+    # else the first uniform companion's
+    blk_dq = None
+    for _t, p, _d in members:
+        if p in w_names and am.get(p) == "uniform":
+            blk_dq = int(approx_data["dq_flag"].get(p, 0))
+            break
+    split = set()
+    for t, p, _d in members:
+        if p in w_names:
+            continue
+        if am.get(p) in ("codebook", "skip"):
+            split.add(p)
+            continue
+        d = int(approx_data["dq_flag"].get(p, 0))
+        if blk_dq is None:
+            blk_dq = d
+        elif d != blk_dq:
+            split.add(p)
+    # the four BN tensors are signaled by ONE cpt bit: atomic
+    bn_names = {p for t, p, _d in members if t.startswith("bn.")}
+    if split & bn_names:
+        split |= bn_names
+    kept_cpt = int(cpt)
+    for t, p, _d in members:
+        if p not in split:
+            continue
+        if t == "weight.ls":
+            kept_cpt &= ~_CPT.NNR_CPT_LS
+        elif t == "bias":
+            kept_cpt &= ~_CPT.NNR_CPT_BI
+        elif t.startswith("bn."):
+            kept_cpt &= ~_CPT.NNR_CPT_BN
+    return kept_cpt, [p for _t, p, _d in members if p in split]
+
+
 def is_block_possible(block_access, approx_data):
-    """A block NDU is possible if all of its companion params are present
-    consistently. (reference: coder/__init__.py:11-38)"""
+    """A block NDU covering ALL members is possible iff nothing needs to
+    split. (reference: coder/__init__.py:11-38)"""
     cpt = approx_data["compressed_parameter_types"].get(block_access.block_id)
     if cpt is None:
         return False
@@ -36,7 +96,12 @@ def is_block_possible(block_access, approx_data):
             approx_data["compressed_parameter_types"]):
         if param not in approx_data["parameters"]:
             return False
-    return True
+    am = approx_data["approx_method"]
+    if block_access.dc_g in am and \
+            am[block_access.dc_g] != am.get(block_access.dc_h):
+        return False
+    kept_cpt, split = _partition_block(block_access, approx_data)
+    return kept_cpt == cpt and not split
 
 
 # ---------------------------------------------------------------------------
@@ -157,13 +222,15 @@ def compile_ndu(param, approx_data, enc_info, model_info, is_block, cpt,
     pt = h["nnr_compressed_data_unit_payload_type"]
     if pt in (_PT.NNR_PT_BLOCK, _PT.NNR_PT_FLOAT, _PT.NNR_PT_INT):
         # The header's dq flag describes the uniform-coded tensors of the
-        # unit; codebook-indexed tensors always code with dq=0.
-        if method == "codebook" and is_block:
-            companions = [p for t, p, _ in
-                          _coded_tensors(block_access, approx_data)
-                          if p != param and not p.endswith("_H")]
-            h["dq_flag"] = int(approx_data["dq_flag"][companions[0]]) \
-                if companions else 0
+        # unit; codebook-indexed tensors always code with dq=0. A block's
+        # members are dq-consistent by construction (_partition_block
+        # splits out mismatches), so any uniform member's flag works.
+        if is_block:
+            h["dq_flag"] = 0
+            for _t, p, _d in _coded_tensors(block_access, approx_data):
+                if approx_data["approx_method"].get(p) == "uniform":
+                    h["dq_flag"] = int(approx_data["dq_flag"][p])
+                    break
         elif method == "codebook":
             h["dq_flag"] = 0
         else:
@@ -210,15 +277,15 @@ def compile_ndu(param, approx_data, enc_info, model_info, is_block, cpt,
 # ---------------------------------------------------------------------------
 # Encode
 # ---------------------------------------------------------------------------
-def _encode_ndu_payload(block_or_param, approx_data, enc_info, mps_qp):
-    """CABAC-encode all coded tensors of one NDU; returns (payload bytes,
-    [eps] for >=2-D tensors)."""
+def _encode_ndu_payload(param_names, approx_data, enc_info, mps_qp):
+    """CABAC-encode the named tensors (payload order) into one NDU;
+    returns (payload bytes, [eps] for >=2-D tensors)."""
     culm1 = enc_info["cabac_unary_length_minus1"]
     param_opt = enc_info.get("param_opt_flag", 0)
     qp_density = int(approx_data["qp_density"])
     enc = cabac.Encoder()
     ep_lists = []
-    for _ptype, param, _dims in _coded_tensors(block_or_param, approx_data):
+    for param in param_names:
         values = approx_data["parameters"][param]
         method = approx_data["approx_method"][param]
         scan = int(approx_data["scan_order"].get(param, 0))
@@ -256,30 +323,50 @@ def encode(enc_info, model_info, approx_data, ndu_oob=None,
         bitstream += syntax.encode_unit(compile_tpl(model_info))
 
     model_access = NNRModelAccess(model_info)
-    units = []  # (header, block_or_param or None) in bitstream order
-    for block_or_param in model_access.blocks_and_params():
-        is_block = block_or_param.block_id is not None
-        if is_block:
-            cpt = approx_data["compressed_parameter_types"][
-                block_or_param.block_id]
-            w = block_or_param.w
-            dims = model_info["parameter_dimensions"][w]
-            h = compile_ndu(None, approx_data, enc_info, model_info, True,
-                            cpt, block_or_param, dims, ndu_oob)
-        else:
-            param = block_or_param.param
+    units = []  # (header, [coded tensor names] or None) in bitstream order
+
+    def single_unit(param, dims=None):
+        if dims is None:
             dims = approx_data["parameters"][param].shape
-            h = compile_ndu(param, approx_data, enc_info, model_info, False,
-                            0, None, dims, ndu_oob)
+        h = compile_ndu(param, approx_data, enc_info, model_info, False,
+                        0, None, dims, ndu_oob)
         raw = h["nnr_compressed_data_unit_payload_type"] == \
             _PT.NNR_PT_RAW_FLOAT
-        units.append((h, None if raw else block_or_param))
+        units.append((h, None if raw else [param]))
 
-    def payload_of(block_or_param):
-        if block_or_param is None:
+    for block_or_param in model_access.blocks_and_params():
+        if block_or_param.block_id is None:
+            single_unit(block_or_param.param)
+            continue
+        cpt = approx_data["compressed_parameter_types"][
+            block_or_param.block_id]
+        kept_cpt, split = _partition_block(block_or_param, approx_data)
+        if kept_cpt is not None:
+            ad_unit = approx_data
+            if kept_cpt != cpt:
+                # mask the split members' cpt bits for this unit only
+                masked = dict(approx_data["compressed_parameter_types"])
+                masked[block_or_param.block_id] = kept_cpt
+                ad_unit = dict(approx_data,
+                               compressed_parameter_types=masked)
+            kept = [p for _t, p, _d in
+                    _coded_tensors(block_or_param, ad_unit)]
+            if len(kept) >= 2:
+                dims = model_info["parameter_dimensions"][block_or_param.w]
+                h = compile_ndu(None, ad_unit, enc_info, model_info, True,
+                                kept_cpt, block_or_param, dims, ndu_oob)
+                units.append((h, kept))
+            else:
+                # a PT_BLOCK unit needs >=2 topology elements; a block
+                # stripped down to its bare weight codes as a single NDU
+                split = kept + list(split)
+        for param in split:
+            single_unit(param)
+
+    def payload_of(names):
+        if names is None:
             return None
-        return _encode_ndu_payload(block_or_param, approx_data, enc_info,
-                                   mps_qp)
+        return _encode_ndu_payload(names, approx_data, enc_info, mps_qp)
 
     if num_workers > 1 and len(units) > 1:
         from concurrent.futures import ThreadPoolExecutor

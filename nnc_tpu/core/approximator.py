@@ -269,6 +269,22 @@ def apply_lsa(model_info, approx_data):
         approx_data["compressed_parameter_types"][block_id] -= \
             hls.BlockParameterTypes.NNR_CPT_LS
 
+    # LS tensors that were split out of their block NDU (e.g. codebook-coded
+    # companions, coder._partition_block) decode as free-standing params with
+    # no NNR_CPT_LS bit; fold them by the w + "_scaling" name convention.
+    for name in [n for n in approx_data["parameters"]
+                 if n.endswith("_scaling")]:
+        base = name[: -len("_scaling")]
+        target = base + "_G" if base + "_G" in approx_data["parameters"] \
+            else base
+        if target not in approx_data["parameters"]:
+            continue
+        ls = approx_data["parameters"].pop(name)
+        model_info["parameter_index"].pop(name, None)
+        model_info["block_identifier"].pop(name, None)
+        w = approx_data["parameters"][target]
+        w *= ls.reshape([-1] + [1] * (w.ndim - 1))
+
 
 def recompose_params(model_info, approx_data_in):
     """Recompose low-rank (G·H) weights and re-sort parameters by index.
@@ -512,10 +528,10 @@ def codebook_approx(approx_info, model_info, approx_data_in, param_opt=0,
                                                 approx_data_in):
         if param in handled:
             continue
-        if par_type not in W_TYPES:
-            # codebook coding is scoped to weight tensors; companions stay
-            # uniform (divergence from reference, see module docstring).
-            continue
+        # All to_approximate tensors are codebook-eligible, companions
+        # (bias/BN/LSA) included (reference: codebook.py:205-208). A block
+        # whose companion ends up codebook-coded is split into per-tensor
+        # NDUs by the coder (is_block_possible), mirroring the reference.
         # DC-decomposed G/H pairs share one codebook_present_flag in the
         # NDU syntax, so the method choice must be JOINT (an independent
         # mode-2 RD choice could diverge and produce an unencodable unit)

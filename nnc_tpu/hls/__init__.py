@@ -21,7 +21,7 @@ assert sys.byteorder == "little"
 # diverges from ISO/IEC 15938-17 (docs/BITSTREAM.md); self-consistency is the
 # compatibility contract, so any layout change MUST bump this and the golden
 # fixtures under tests/golden/ (byte-identity tests pin the current layout).
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: codebook-coded companions + partial block split
 
 
 class NnrUnitType(enum.IntEnum):

@@ -112,6 +112,17 @@ def _case_lsa_scales():
     return d, dict(qp=-22, block_id_and_param_type=_block_map(d))
 
 
+def _case_codebook_companions():
+    """Codebook-coded bias + LSA scale companions: the block NDU keeps its
+    weight, offenders split into single-tensor NDUs (partial block split)."""
+    d = _mlp_dict(110, layers=2, width=12, in_dim=6)
+    rng = np.random.default_rng(1100)
+    d["net.0.weight_scaling"] = (
+        1 + rng.normal(0, 0.02, (12,))).astype(np.float32)
+    return d, dict(qp=-18, codebook_mode=1,
+                   block_id_and_param_type=_block_map(d))
+
+
 def _case_scan_order_eps():
     rng = np.random.default_rng(108)
     d = {"w": rng.normal(0, 0.05, (64, 32)).astype(np.float32)}
@@ -133,6 +144,7 @@ CODEC_CASES = {
     "dc_block": _case_dc_block,
     "bn_block": _case_bn_block,
     "lsa_scales": _case_lsa_scales,
+    "codebook_companions": _case_codebook_companions,
     "scan_order_eps": _case_scan_order_eps,
     "int_skip": _case_int_skip,
 }

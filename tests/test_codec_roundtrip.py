@@ -351,3 +351,59 @@ def test_parallel_ndu_encode_matches_serial():
                                verbose=False, return_bitstream=True,
                                num_workers=4)
     assert bs1 == bs2  # byte-identical regardless of worker count
+
+
+def test_roundtrip_codebook_companions_partial_split():
+    """Mode-1 codebook applies to companions too (reference codebook.py:
+    205-208); un-groupable companions split into single-tensor NDUs while
+    the block keeps its weight + remaining members (partial block split),
+    and a split LSA scale still folds into its weight on decompress."""
+    from nnc_tpu import compression
+    rng = np.random.default_rng(77)
+    d = make_mlp_dict(rng, layers=2, width=12, in_dim=6)
+    d["net.0.weight_scaling"] = (
+        1 + rng.normal(0, 0.02, (12,))).astype(np.float32)
+    bs = compression.compress(
+        dict(d), bitstream_path=None, verbose=False, return_bitstream=True,
+        qp=-18, codebook_mode=1, block_id_and_param_type=make_block_map(d))
+    _mi, ad = coder.decode(bytes(bs))
+    # every to_approximate tensor (bias + LSA scale included) is codebook
+    for name in d:
+        assert ad["approx_method"][name] == "codebook", name
+        assert name in ad["codebooks"], name
+    # the partial split masked the companions' cpt bits off the block NDU
+    for cpt in ad["compressed_parameter_types"].values():
+        assert cpt & hls.BlockParameterTypes.NNR_CPT_BI == 0
+        assert cpt & hls.BlockParameterTypes.NNR_CPT_LS == 0
+    rec = compression.decompress(bytes(bs), verbose=False)
+    assert "net.0.weight_scaling" not in rec  # folded, not surfaced
+    step = common.get_stepsize_from_qp(-18, 2)
+    expected = d["net.0.weight"] * d["net.0.weight_scaling"].reshape(-1, 1)
+    assert np.abs(rec["net.0.weight"] - expected).max() < 2 * step
+    for name in ("net.0.bias", "net.1.bias"):
+        assert np.abs(rec[name] - d[name]).max() < 2 * step
+
+
+def test_roundtrip_block_dq_mismatch_splits_member():
+    """A companion with a dq_flag different from its block codes in its own
+    NDU (the block header has one dq flag); values still round-trip."""
+    rng = np.random.default_rng(78)
+    d = make_mlp_dict(rng, layers=2, width=16, in_dim=8)
+    nnc_mdl = nnr_model.NNRModel(d)
+    params = nnc_mdl.init_model_from_dict(d)
+    model_info = nnc_mdl.model_info
+    nnr_model.set_block_id_and_param_type(model_info, make_block_map(d))
+    approx_data = approximator.init_approx_data(params, model_info, 2, 0)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 0, -24, True, False, 10, 0.0)
+    ap_info.approx_info["dq_flag"]["net.0.bias"] = 0  # mismatch vs dq=1
+    ad_enc = approximator.approx(ap_info.approx_info, model_info,
+                                 approx_data, verbose=False)
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    bs = coder.encode(enc_info, model_info, ad_enc)
+    _mi, ad_dec = coder.decode(bs)
+    assert int(ad_dec["dq_flag"]["net.0.bias"]) == 0
+    assert int(ad_dec["dq_flag"]["net.0.weight"]) == 1
+    for name in d:
+        assert np.array_equal(ad_dec["parameters"][name],
+                              ad_enc["parameters"][name]), name

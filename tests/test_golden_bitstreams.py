@@ -72,6 +72,32 @@ def test_units_case_byte_identity_and_decode():
         json.loads(json.dumps(expected, sort_keys=True))
 
 
+def _archived_versions():
+    return sorted(d for d in os.listdir(GOLDEN_DIR)
+                  if d.startswith("v") and
+                  os.path.isdir(os.path.join(GOLDEN_DIR, d)))
+
+
+@pytest.mark.parametrize("version_dir", _archived_versions())
+def test_archived_fixtures_still_decode(version_dir):
+    """Previously shipped format versions must keep decoding bit-exactly:
+    writer-behavior changes (which regenerate the live fixtures) must never
+    orphan streams written by older releases."""
+    from nnc_tpu import compression
+    vdir = os.path.join(GOLDEN_DIR, version_dir)
+    cases = [f[:-4] for f in os.listdir(vdir) if f.endswith(".nnc")
+             and os.path.exists(os.path.join(vdir, f[:-4] + ".expected.npz"))]
+    assert cases, f"no archived codec fixtures in {version_dir}"
+    for name in sorted(cases):
+        with open(os.path.join(vdir, f"{name}.nnc"), "rb") as f:
+            golden = f.read()
+        rec = compression.decompress(golden, verbose=False)
+        expected = np.load(os.path.join(vdir, f"{name}.expected.npz"))
+        assert set(rec.keys()) == set(expected.files), name
+        for k in expected.files:
+            assert np.array_equal(rec[k], expected[k]), (version_dir, name, k)
+
+
 def test_future_format_version_rejected():
     """Streams from a newer layout must be rejected loudly, not misparsed."""
     from nnc_tpu import coder
