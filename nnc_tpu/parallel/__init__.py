@@ -59,6 +59,17 @@ def shard_train_inputs(mesh: Mesh, *arrays):
     return tuple(jax.device_put(jnp.asarray(a), sh) for a in arrays)
 
 
+def shard_scan_inputs(mesh: Mesh, packed, keys):
+    """Place a scan-batched LSA input stack on the mesh: the (K, N, 12)
+    packed ray batches shard their RAY axis (axis 1) over 'data'; the scan
+    axis K and the (K, 2) PRNG keys replicate. Keeps lax.scan's K-steps-per-
+    dispatch amortization under a mesh (train/lsa.py scan path)."""
+    packed = jax.device_put(
+        jnp.asarray(packed), NamedSharding(mesh, P(None, "data", None)))
+    keys = jax.device_put(jnp.asarray(keys), replicated(mesh))
+    return packed, keys
+
+
 def replicate_params(mesh: Mesh, tree):
     """Replicate a parameter pytree across the mesh."""
     sh = replicated(mesh)

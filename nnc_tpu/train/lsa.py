@@ -244,7 +244,7 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
     else:
         put = lambda *arrs: tuple(jnp.asarray(a) for a in arrs)
 
-    use_scan = steps_per_call > 1 and mesh is None
+    use_scan = steps_per_call > 1
     train_step = make_train_step(rc, optimizer, grid=grid,
                                  occ_candidates=occ_candidates,
                                  occ_budget=occ_budget)
@@ -293,9 +293,21 @@ def tune_lsa_scales(params_c, params_f, ls_c, ls_f, batcher, rc,
                 packed = np.stack(
                     [np.concatenate(b, axis=-1) for b in bs])
                 key, *subs = jax.random.split(key, k + 1)
+                if mesh is not None:
+                    # shard rays (axis 1 of the (K, N, 12) stack) over
+                    # 'data'; the scan axis and keys stay replicated, so the
+                    # whole K-step scan keeps its one-dispatch amortization
+                    # under the mesh (VERDICT r2 next-step #5)
+                    from ..parallel import shard_scan_inputs
+                    packed_dev, keys_dev = shard_scan_inputs(
+                        mesh, packed, np.stack([np.asarray(s)
+                                                for s in subs]))
+                else:
+                    packed_dev = jnp.asarray(packed)
+                    keys_dev = jnp.stack(subs)
                 scales, opt_state, loss_arr, il_arr = scan_step(
-                    scales, opt_state, params, jnp.asarray(packed),
-                    near, far, jnp.stack(subs))
+                    scales, opt_state, params, packed_dev,
+                    near, far, keys_dev)
                 for lv, iv in zip(np.asarray(loss_arr), np.asarray(il_arr)):
                     record(float(iv), float(lv))
             else:

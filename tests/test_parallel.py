@@ -191,3 +191,84 @@ def test_render_image_mesh_fused_kernels_match_single():
     out_s = renderer.render_image(params, params, None, None, ro, rd,
                                   2.0, 6.0, rc)
     np.testing.assert_array_equal(out_m["rgb_map"], out_s["rgb_map"])
+
+
+def test_scan_train_step_under_mesh_matches_single_device():
+    """The K-step lax.scan LSA update with the ray axis sharded over 'data'
+    must match the single-device scan (VERDICT r2 #5: multi-chip training
+    keeps the scan-batch dispatch amortization)."""
+    import optax
+    mlp = nerf.NeRFConfig(W=16)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=8, n_importance=4, chunk=16)
+    key = jax.random.PRNGKey(0)
+    params = (nerf.init_params(key, mlp),
+              nerf.init_params(jax.random.fold_in(key, 1), mlp))
+    scales = (nerf.init_lsa_scales(mlp), nerf.init_lsa_scales(mlp))
+    optimizer = optax.adam(1e-3)
+    scan_step = lsa.make_scan_train_step(rc, optimizer)
+
+    K, N = 3, 16
+    rng = np.random.default_rng(0)
+    packed = np.concatenate(
+        [rng.normal(0, 1, (K, N, 3)).astype(np.float32),
+         rng.normal(0, 1, (K, N, 3)).astype(np.float32) - [0, 0, 2],
+         rng.normal(0, 1, (K, N, 3)).astype(np.float32),
+         rng.uniform(0, 1, (K, N, 3)).astype(np.float32)], axis=-1)
+    packed[..., 6:9] /= np.linalg.norm(packed[..., 6:9], axis=-1,
+                                       keepdims=True)
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+
+    s1, _, losses1, _ = scan_step(scales, optimizer.init(scales), params,
+                                  jnp.asarray(packed), 2.0, 6.0, keys)
+
+    mesh = parallel.make_mesh(8, ("data",))
+    params_r = (parallel.replicate_params(mesh, params[0]),
+                parallel.replicate_params(mesh, params[1]))
+    scales_r = parallel.replicate_params(mesh, scales)
+    packed_s, keys_s = parallel.shard_scan_inputs(mesh, packed,
+                                                  np.asarray(keys))
+    assert packed_s.sharding.spec == jax.sharding.PartitionSpec(
+        None, "data", None)
+    s2, _, losses2, _ = scan_step(scales_r, optimizer.init(scales_r),
+                                  params_r, packed_s, 2.0, 6.0, keys_s)
+
+    np.testing.assert_allclose(np.asarray(losses1), np.asarray(losses2),
+                               rtol=1e-5)
+    for name in s1[0]:
+        np.testing.assert_allclose(np.asarray(s1[0][name]),
+                                   np.asarray(s2[0][name]), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_tune_lsa_scales_uses_scan_under_mesh():
+    """tune_lsa_scales end-to-end on a mesh takes the scan path (use_scan no
+    longer requires mesh is None) and produces finite results."""
+    mlp = nerf.NeRFConfig(W=16)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=8, n_importance=4, chunk=16)
+    key = jax.random.PRNGKey(0)
+    params_c = nerf.init_params(key, mlp)
+    params_f = nerf.init_params(jax.random.fold_in(key, 1), mlp)
+    ls_c = nerf.init_lsa_scales(mlp)
+    ls_f = nerf.init_lsa_scales(mlp)
+    mesh = parallel.make_mesh(8, ("data",))
+    params_c = parallel.replicate_params(mesh, params_c)
+    params_f = parallel.replicate_params(mesh, params_f)
+
+    class Batcher:
+        def __init__(self):
+            self.rng = np.random.default_rng(3)
+
+        def next_batch(self):
+            ro = self.rng.normal(0, 1, (16, 3)).astype(np.float32)
+            rd = self.rng.normal(0, 1, (16, 3)).astype(np.float32) - [0, 0, 2]
+            tgt = self.rng.uniform(0, 1, (16, 3)).astype(np.float32)
+            return ro, rd, tgt
+
+    out = lsa.tune_lsa_scales(
+        params_c, params_f, ls_c, ls_f, Batcher(), rc, 2.0, 6.0,
+        epochs=1, n_iters=4, steps_per_call=4, mesh=mesh, verbose=False)
+    ls_c2, ls_f2, mean_psnr, mean_loss, gstep, _ = out
+    assert gstep == 4
+    assert np.isfinite(mean_loss)
+    for name in ls_c2:
+        assert np.isfinite(np.asarray(ls_c2[name])).all()
