@@ -272,3 +272,25 @@ def test_tune_lsa_scales_uses_scan_under_mesh():
     assert np.isfinite(mean_loss)
     for name in ls_c2:
         assert np.isfinite(np.asarray(ls_c2[name])).all()
+
+
+def test_tp_fused_mlp_matches_dense():
+    """Width-split tensor-parallel fused MLP (Megatron col/row pairs +
+    psum over 'model') matches the dense XLA MLP on the virtual mesh
+    (VERDICT r2 #7: TP x fused exists; BASELINE.md records why the
+    production path stays data-parallel)."""
+    from nnc_tpu.ops import mlp_tp_pallas, mlp_pallas
+
+    mlp = nerf.NeRFConfig()  # flagship f32
+    params = nerf.init_params(jax.random.PRNGKey(0), mlp)
+    ls = nerf.init_lsa_scales(mlp, std=0.1, key=jax.random.PRNGKey(5))
+    N = mlp_pallas.TILE
+    pts = jax.random.normal(jax.random.PRNGKey(1), (N, 63))
+    views = jax.random.normal(jax.random.PRNGKey(2), (N, 27))
+    ref = np.asarray(nerf.apply_mlp(params, pts, views, mlp, ls=ls))
+
+    for axes, shape in ((("model",), (4,)), (("data", "model"), (2, 4))):
+        mesh = parallel.make_mesh(np.prod(shape), axes, shape=shape)
+        got = np.asarray(mlp_tp_pallas.fused_nerf_mlp_tp(
+            params, ls, pts, views, mlp, mesh))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
