@@ -34,24 +34,60 @@ class DummyDataLoader:
 
 
 class ModelSetting:
-    """Classification-style handler: loaders + train/eval callables."""
+    """Classification-style handler: loaders + train/eval callables.
+
+    ``init_*`` build real ImageNet-folder loaders from ``dataset_path``
+    (reference: use_case_init/__init__.py:21-72 wires torch DataLoaders the
+    same way); when no usable path is given they fall back to Dummy loaders
+    so data-free codec paths keep working. Return shapes mirror the
+    reference: ``init_training`` -> loader, ``init_validation``/``init_test``
+    -> (dataset, loader)."""
 
     def __init__(self, model_transform=None, evaluate=None, train=None,
-                 dataset=None, criterion=None):
+                 dataset=None, criterion=None, image_size=224):
         self.model_transform = model_transform
         self.evaluate = evaluate
         self.train = train
         self.dataset = dataset
         self.criterion = criterion
+        self.image_size = image_size
+
+    def _folder_loader(self, dataset_path, split, batch_size, num_workers,
+                       shuffle):
+        import os
+
+        if not dataset_path or not os.path.isdir(str(dataset_path)):
+            return None
+        from ..data.imagenet import (FolderDataLoader, ImageNetDataset,
+                                     load_validation_file_list,
+                                     resolve_imagenet_root)
+        root, eff_split = resolve_imagenet_root(str(dataset_path), split)
+        val_files = None
+        if eff_split in ("train", "val"):
+            for cand in ("imagenet_validation_files.txt", "val.txt"):
+                p = os.path.join(str(dataset_path), cand)
+                if os.path.isfile(p):
+                    val_files = load_validation_file_list(p)
+                    break
+        ds_cls = self.dataset or ImageNetDataset
+        ds = ds_cls(root, eff_split, val_files, image_size=self.image_size)
+        return ds, FolderDataLoader(ds, batch_size=batch_size,
+                                    shuffle=shuffle, num_workers=num_workers)
 
     def init_training(self, dataset_path, batch_size, num_workers):
-        return DummyDataLoader()
+        built = self._folder_loader(dataset_path, "train", batch_size,
+                                    num_workers, shuffle=True)
+        return built[1] if built else DummyDataLoader()
 
     def init_validation(self, dataset_path, batch_size, num_workers):
-        return DummyDataLoader()
+        built = self._folder_loader(dataset_path, "val", batch_size,
+                                    num_workers, shuffle=False)
+        return built if built else (DummyDataset(), DummyDataLoader())
 
     def init_test(self, dataset_path, batch_size, num_workers):
-        return DummyDataLoader()
+        built = self._folder_loader(dataset_path, "test", batch_size,
+                                    num_workers, shuffle=False)
+        return built if built else (DummyDataset(), DummyDataLoader())
 
 
 class NeRFModelSetting:

@@ -42,6 +42,54 @@ def test_imagenet_dataset_and_loaders(tmp_path):
     assert n_train == 5 and n_val == 1
 
 
+def test_registry_real_imagenet_loaders(tmp_path):
+    """NNR_PYT eval runs on a folder fixture through the registry alone
+    (reference wires real loaders in use_case_init/__init__.py:21-72)."""
+    import jax.numpy as jnp
+
+    from nnc_tpu.framework.use_cases import use_cases
+
+    # reference layout: root/train (train+val via list) + root/val (test)
+    root = tmp_path / "inet"
+    os.makedirs(root)
+    train_files = make_fake_imagenet(str(root / "train"), per_class=3)
+    make_fake_imagenet(str(root / "val"), per_class=2)
+    with open(root / "val.txt", "w") as f:
+        f.write(train_files[0][1] + "\n")
+
+    handler = use_cases["NNR_PYT"]()
+    train_loader = handler.init_training(str(root), 4, 0)
+    val_set, val_loader = handler.init_validation(str(root), 4, 0)
+    test_set, test_loader = handler.init_test(str(root), 4, 2)
+    assert sum(len(y) for _x, y in train_loader) == 5
+    assert len(val_set) == 1 and sum(len(y) for _x, y in val_loader) == 1
+    assert len(test_set) == 4
+
+    # eval a tiny linear classifier through the registry's evaluate callable
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(0, 1e-3, (224 * 224 * 3, 6)),
+                               jnp.float32)}
+
+    def apply_fn(p, _ls, x):
+        return x.reshape(x.shape[0], -1) @ p["w"]
+
+    top1, top5, loss = handler.evaluate(apply_fn, params, {}, test_loader)
+    assert 0.0 <= top1 <= 1.0 and np.isfinite(loss)
+
+    # pathless fallback keeps the data-free codec path working
+    dummy = handler.init_training(None, 4, 0)
+    assert len(dummy) == 0
+    dset, dloader = handler.init_test("/nonexistent/path", 4, 0)
+    assert len(dloader) == 0
+
+    # flat class-folder root (no train/ subdir) works for every split
+    flat = tmp_path / "flat"
+    os.makedirs(flat)
+    make_fake_imagenet(str(flat), per_class=2)
+    fset, floader = handler.init_test(str(flat), 4, 0)
+    assert len(fset) == 4
+
+
 def test_config_txt_parser(tmp_path):
     from nnc_tpu.utils.config_txt import load_config, scene_overrides
     cfg = load_config(os.path.join(os.path.dirname(os.path.dirname(
