@@ -302,28 +302,11 @@ def _encode_ndu_payload(param_names, approx_data, enc_info, mps_qp):
     return enc.finish().tobytes(), ep_lists
 
 
-def encode(enc_info, model_info, approx_data, ndu_oob=None,
-           num_workers: int = 0):
-    """Serialize model_info + approx_data into a full NNR bitstream.
-    ``ndu_oob`` (from :func:`compile_ndu_oob`) omits the flagged NDU header
-    fields; decoding then requires external model information.
-    (reference: coder/__init__.py:100-148)
-
-    ``num_workers > 1`` CABAC-encodes NDU payloads in a thread pool: each
-    NDU is an independent stream segment and the native encoder releases
-    the GIL, mirroring the parallel decode path."""
-    bitstream = bytearray()
-    topology_present = model_info["topology_storage_format"] is not None
-    mps = compile_mps(approx_data, topology_present)
-    mps_qp = mps.get("mps_quantization_parameter", 0)
-
-    bitstream += syntax.encode_unit(compile_start_unit(0))
-    bitstream += syntax.encode_unit(mps)
-    if topology_present:
-        bitstream += syntax.encode_unit(compile_tpl(model_info))
-
+def _compile_units(enc_info, model_info, approx_data, ndu_oob=None):
+    """Walk the model's blocks and compile the NDU partition: returns a
+    list of (header, [coded tensor names] or None) in bitstream order."""
     model_access = NNRModelAccess(model_info)
-    units = []  # (header, [coded tensor names] or None) in bitstream order
+    units = []
 
     def single_unit(param, dims=None):
         if dims is None:
@@ -362,6 +345,48 @@ def encode(enc_info, model_info, approx_data, ndu_oob=None,
                 split = kept + list(split)
         for param in split:
             single_unit(param)
+    return units
+
+
+def encode_param_unit(enc_info, model_info, approx_data, param):
+    """Encode ONLY the NDU whose payload contains ``param``; returns its
+    serialized byte length (header + payload). Used by the IOQ refinement
+    loop to delta-measure a single-tensor QP trial without re-encoding the
+    whole model (the reference re-encodes everything per trial,
+    reference approximator:387-600 — ~8·N² tensor encodes)."""
+    units = _compile_units(enc_info, model_info, approx_data)
+    for h, names in units:
+        if names is not None and param in names:
+            # compile_mps always writes mps_quantization_parameter = 0
+            payload, ep_lists = _encode_ndu_payload(names, approx_data,
+                                                    enc_info, 0)
+            if ep_lists:
+                h["cabac_entry_point_lists"] = ep_lists
+            return len(syntax.encode_unit(h, payload))
+    raise KeyError(f"{param} is not coded in any NDU payload")
+
+
+def encode(enc_info, model_info, approx_data, ndu_oob=None,
+           num_workers: int = 0):
+    """Serialize model_info + approx_data into a full NNR bitstream.
+    ``ndu_oob`` (from :func:`compile_ndu_oob`) omits the flagged NDU header
+    fields; decoding then requires external model information.
+    (reference: coder/__init__.py:100-148)
+
+    ``num_workers > 1`` CABAC-encodes NDU payloads in a thread pool: each
+    NDU is an independent stream segment and the native encoder releases
+    the GIL, mirroring the parallel decode path."""
+    bitstream = bytearray()
+    topology_present = model_info["topology_storage_format"] is not None
+    mps = compile_mps(approx_data, topology_present)
+    mps_qp = mps.get("mps_quantization_parameter", 0)
+
+    bitstream += syntax.encode_unit(compile_start_unit(0))
+    bitstream += syntax.encode_unit(mps)
+    if topology_present:
+        bitstream += syntax.encode_unit(compile_tpl(model_info))
+
+    units = _compile_units(enc_info, model_info, approx_data, ndu_oob)
 
     def payload_of(names):
         if names is None:

@@ -662,7 +662,8 @@ def run_ft_and_lsa(model_info, approx_data, ap_info, model_executer,
 def inference_based_qp_opt(approx_info, model_info, model_executer,
                            approx_data, param_opt, cabac_unary_length_minus1,
                            verbose=True, qp_offsets=(-4, -3, -2, -1,
-                                                     1, 2, 3, 4)):
+                                                     1, 2, 3, 4),
+                           force_full=False):
     """Inference-optimised QP assignment, rate-distortion style.
 
     Mirrors the reference algorithm (reference: approximator:387-600):
@@ -671,20 +672,38 @@ def inference_based_qp_opt(approx_info, model_info, model_executer,
     (2) greedily refine per-tensor QPs (weights sorted by size, the largest
     kept at the global QP as the reference does) over ``qp_offsets``,
     accepting a change when cost = accuracy_drop + lambda * byte_delta
-    improves on the best so far."""
+    improves on the best so far.
+
+    Unlike the reference — which re-quantizes and re-encodes the ENTIRE
+    model for every (tensor, offset) trial, ~8·N² tensor encodes — the
+    refinement loop here delta-measures each uniform-mode trial: only the
+    trial tensor is re-quantized/re-reconstructed and only its NDU is
+    re-encoded (``coder.encode_param_unit``), with the rest of the size and
+    reconstruction carried over. Per-tensor quantization, NDU framing and
+    reconstruction are independent, so the decisions are identical to the
+    full re-measure (equivalence-tested); cost drops from O(N) encodes per
+    trial to O(1). ``force_full=True`` keeps the reference's full
+    re-measure (also used when the approx method is not uniform)."""
     from .. import coder as _coder
 
     enc_info = {"cabac_unary_length_minus1": cabac_unary_length_minus1,
                 "param_opt_flag": param_opt}
 
-    def measure(info):
+    def measure(info, want_state=False):
         ad_q = approx(info, model_info, approx_data, param_opt, verbose=False)
         bs = _coder.encode(enc_info, model_info, ad_q)
+        quant = None
+        if want_state:
+            quant = dict(ad_q)
+            quant["parameters"] = dict(ad_q["parameters"])
+            quant["qp"] = dict(ad_q["qp"])
+            quant["dq_flag"] = dict(ad_q["dq_flag"])
+            quant["approx_method"] = dict(ad_q["approx_method"])
         ad_r = ad_q  # approx() deep-copies approx_data; safe to rec in place
         rec(ad_r)
         acc = model_executer.eval_model(ad_r["parameters"], verbose=False)
         acc = acc[0] if isinstance(acc, (tuple, list)) else acc
-        return len(bs), float(acc)
+        return len(bs), float(acc), quant, ad_r["parameters"]
 
     def weight_params(info):
         out = []
@@ -694,7 +713,11 @@ def inference_based_qp_opt(approx_info, model_info, model_executer,
                 out.append(p)
         return out
 
-    ref_size, ref_acc = measure(approx_info)
+    use_delta = (not force_full) and \
+        approx_info["approx_method"] == "uniform"
+
+    ref_size, ref_acc, cur_adq, cur_rec = measure(approx_info,
+                                                  want_state=use_delta)
     if verbose:
         print(f"\tIOQ: baseline {ref_size} bytes, accuracy {ref_acc}")
 
@@ -703,7 +726,7 @@ def inference_based_qp_opt(approx_info, model_info, model_executer,
         info = copy.deepcopy(approx_info)
         for p in weight_params(info):
             info["qp"][p] = int(info["qp"][p]) + global_off
-        size, acc = measure(info)
+        size, acc, _q, _r = measure(info)
         diff_br = size - ref_size
         lambdas.append(-(ref_acc - acc) / diff_br if diff_br else 0.0)
         if verbose:
@@ -715,17 +738,51 @@ def inference_based_qp_opt(approx_info, model_info, model_executer,
                      reverse=True)
     best_info = copy.deepcopy(approx_info)
     best_cost = 0.0
+    cur_rec = dict(cur_rec) if use_delta else None
+    cur_size = ref_size
+
+    def try_delta(p, qp_enc):
+        """Measure (size, acc, state) for best_info with p's qp -> qp_enc,
+        re-coding only p's tensor and NDU."""
+        dq = int(best_info["dq_flag"][p])
+        q, qp_out = _quant_one(approx_info, approx_data, p, dq, qp_enc)
+        trial_adq = dict(cur_adq)
+        trial_adq["parameters"] = dict(cur_adq["parameters"],
+                                       **{p: q})
+        trial_adq["qp"] = dict(cur_adq["qp"], **{p: qp_out})
+        size = cur_size \
+            - _coder.encode_param_unit(enc_info, model_info, cur_adq, p) \
+            + _coder.encode_param_unit(enc_info, model_info, trial_adq, p)
+        tiny = {"parameters": {p: q}, "qp": {p: qp_out},
+                "qp_density": approx_data["qp_density"],
+                "scan_order": approx_data["scan_order"],
+                "dq_flag": {p: dq}, "approx_method": {p: "uniform"}}
+        uniform_rec(p, tiny)
+        trial_params = dict(cur_rec, **{p: tiny["parameters"][p]})
+        acc = model_executer.eval_model(trial_params, verbose=False)
+        acc = acc[0] if isinstance(acc, (tuple, list)) else acc
+        return size, float(acc), (trial_adq, trial_params)
+
     for p in by_size[1:]:  # the largest tensor stays at the global QP
+        if use_delta and cur_adq["approx_method"].get(p) != "uniform":
+            continue  # e.g. integer-skip: qp changes are no-ops
         for qp_off in qp_offsets:
-            trial = copy.deepcopy(best_info)
-            trial["qp"][p] = int(approx_info["qp"][p]) + qp_off
-            size, acc = measure(trial)
+            qp_enc = int(approx_info["qp"][p]) + qp_off
+            if use_delta:
+                size, acc, state = try_delta(p, qp_enc)
+            else:
+                trial = copy.deepcopy(best_info)
+                trial["qp"][p] = qp_enc
+                size, acc, _q, _r = measure(trial)
             cost = (ref_acc - acc) + lamb * (size - ref_size)
             if cost < best_cost:
                 best_cost = cost
-                best_info = trial
+                best_info["qp"][p] = qp_enc
+                if use_delta:
+                    cur_adq, cur_rec = state
+                    cur_size = size
                 if verbose:
-                    print(f"\tIOQ: {p} qp -> {trial['qp'][p]} "
+                    print(f"\tIOQ: {p} qp -> {qp_enc} "
                           f"(cost {cost:.6f}, {size} bytes, acc {acc})")
     approx_info.clear()
     approx_info.update(best_info)

@@ -80,3 +80,47 @@ def test_ioq_rate_aware_refinement():
             assert qp1[p] < qp0[p]  # refined: spends rate for accuracy
         else:
             assert qp1[p] > qp0[p]  # coarsened: saves rate at no cost
+
+
+def test_ioq_delta_matches_full_remeasure():
+    """The O(1)-per-trial delta measurement must pick the exact QPs the
+    reference-style full re-measure picks (same quantizers, same NDU
+    framing, same reconstruction)."""
+    from nnc_tpu.core import approximator, model as nnr_model
+    from nnc_tpu import hls
+
+    rng = np.random.default_rng(7)
+    d = {
+        "a.weight": rng.normal(0, 0.4, (24, 12)).astype(np.float32),
+        "a.bias": rng.normal(0, 0.1, (24,)).astype(np.float32),
+        "b.weight": rng.normal(0, 0.6, (16, 24)).astype(np.float32),
+        "c.weight": rng.normal(0, 0.2, (8, 16)).astype(np.float32),
+    }
+
+    class Ex:
+        def eval_model(self, params, verbose=False):
+            err = sum(float(np.square(params[k] - d[k]).mean())
+                      for k in ("a.weight", "b.weight"))
+            return (-err,)
+
+        def has_eval(self):
+            return True
+
+    def run(force_full, use_dq, scan_order):
+        mdl = nnr_model.NNRModel(d)
+        params = mdl.init_model_from_dict(d)
+        model_info = mdl.model_info
+        model_info["topology_storage_format"] = \
+            hls.TopologyStorageFormat.NNR_TPL_PYT
+        approx_data = approximator.init_approx_data(params, model_info, 2,
+                                                    scan_order)
+        ap_info = approximator.ApproxInfo(
+            approx_data, model_info, "uniform", 0, -22, False,
+            not use_dq, 10, 0.0)
+        approximator.inference_based_qp_opt(
+            ap_info.approx_info, model_info, Ex(), approx_data, 0, 10,
+            verbose=False, force_full=force_full)
+        return {p: int(q) for p, q in ap_info.approx_info["qp"].items()}
+
+    for use_dq, scan in ((True, 0), (False, 1)):
+        assert run(True, use_dq, scan) == run(False, use_dq, scan)
