@@ -153,22 +153,58 @@ def compile_tpl(model_info):
     }
 
 
-def compile_ndu_oob(tensor_dims=None, cabac_unary_length_minus1=None):
-    """Out-of-band NDU parameters: tensor dimensions and/or the CABAC unary
-    length are omitted from the serialized headers; the decoder must be
-    handed the same values (via ``decode(..., model_info=...)``).
+def compile_ndu_oob(tensor_dims=None, cabac_unary_length_minus1=None,
+                    compressed_parameter_types=None,
+                    decomposition_parameter_dict=None):
+    """Out-of-band NDU parameters (reference: syntax_compiler.py:44-63).
 
-    The reference's fully-out-of-band variant (input_parameters_present_flag
-    = 0, syntax_compiler.py:44-63) also externalizes per-unit
-    compressed_parameter_types and DC fields, which cannot round-trip with
-    a single OOB dict on multi-block models; this implementation keeps
-    those in-band (the sub-flags carry the size savings)."""
-    return {
+    Two strengths, chosen by how much is supplied:
+
+    * **Sub-flag OOB** (``input_parameters_present_flag = 1``): tensor
+      dimensions and/or the CABAC unary length are omitted from the
+      serialized headers; the decoder is handed the same values via
+      ``decode(..., model_info=...)``. Works on any model — dimensions are
+      recovered per tensor by topology name.
+    * **Full OOB** (``input_parameters_present_flag = 0``): additionally
+      omits ``compressed_parameter_types`` and the DC fields. Because one
+      OOB dict describes every NDU of the stream, this requires the values
+      to be stream-global: ``encode`` raises if any unit's actual cpt/DC
+      fields differ from the supplied ones. Decode takes the same dict via
+      ``decode(..., ndu_oob=...)``. Selected when ``tensor_dims``,
+      ``cabac_unary_length_minus1`` and ``compressed_parameter_types`` are
+      all given (plus ``decomposition_parameter_dict`` with keys
+      ``decomposition_rank``/``g_number_of_rows`` whenever cpt includes
+      NNR_CPT_DC). The reference additionally *requires* a DC stream for
+      ipp=0 (its ``all([...])`` gate); that restriction is dropped here —
+      cpt=0 single-tensor streams are the common full-OOB case.
+
+    ``tensor_dims`` may be ``True`` ("omitted; recover per tensor from
+    external ``parameter_dimensions``") or an explicit dimension list
+    (single-tensor streams; validated at encode)."""
+    oob = {
         "input_parameters_present_flag": 1,
         "tensor_dimensions_flag": 0 if tensor_dims is not None else 1,
         "cabac_unary_length_flag":
             0 if cabac_unary_length_minus1 is not None else 1,
     }
+    cpt = compressed_parameter_types
+    full = (tensor_dims is not None
+            and cabac_unary_length_minus1 is not None
+            and cpt is not None
+            and (not (int(cpt) & _CPT.NNR_CPT_DC)
+                 or decomposition_parameter_dict is not None))
+    if full:
+        oob["input_parameters_present_flag"] = 0
+        oob["compressed_parameter_types"] = int(cpt)
+        oob["cabac_unary_length_minus1"] = int(cabac_unary_length_minus1)
+        if tensor_dims is not True:
+            oob["tensor_dimensions"] = [int(d) for d in tensor_dims]
+        if int(cpt) & _CPT.NNR_CPT_DC:
+            oob["decomposition_rank"] = int(
+                decomposition_parameter_dict["decomposition_rank"])
+            oob["g_number_of_rows"] = int(
+                decomposition_parameter_dict["g_number_of_rows"])
+    return oob
 
 
 def _coded_tensors(block_or_param, approx_data):
@@ -267,10 +303,37 @@ def compile_ndu(param, approx_data, enc_info, model_info, is_block, cpt,
     if ndu_oob:
         # fields carried out-of-band keep their values in h (the writer
         # needs dims for the scan/EP sections) but are not serialized
-        for k in ("input_parameters_present_flag", "tensor_dimensions_flag",
-                  "cabac_unary_length_flag"):
-            if k in ndu_oob:
-                h[k] = ndu_oob[k]
+        if ndu_oob.get("input_parameters_present_flag", 1) == 0:
+            # full OOB: one dict describes EVERY unit, so each unit's
+            # actual values must match it — otherwise the stream would
+            # silently decode wrong
+            def _require(field, actual):
+                want = ndu_oob[field]
+                if int(actual) != int(want):
+                    raise ValueError(
+                        f"full out-of-band encoding requires stream-global "
+                        f"{field}, but an NDU has {actual} != oob {want} "
+                        f"(unit: {h.get('topology_elem_id', h.get('topology_elem_id_list'))})")
+            _require("compressed_parameter_types",
+                     h.get("compressed_parameter_types", 0))
+            _require("cabac_unary_length_minus1", h["cabac_unary_length_minus1"])
+            if int(ndu_oob["compressed_parameter_types"]) & _CPT.NNR_CPT_DC:
+                _require("decomposition_rank", h["decomposition_rank"])
+                _require("g_number_of_rows", h["g_number_of_rows"])
+            if "tensor_dimensions" in ndu_oob and \
+                    [int(d) for d in h["tensor_dimensions"]] != \
+                    list(ndu_oob["tensor_dimensions"]):
+                raise ValueError(
+                    f"full out-of-band encoding with explicit tensor_dims "
+                    f"requires every NDU to share them, but "
+                    f"{list(h['tensor_dimensions'])} != "
+                    f"{list(ndu_oob['tensor_dimensions'])}")
+            h["input_parameters_present_flag"] = 0
+        else:
+            for k in ("input_parameters_present_flag",
+                      "tensor_dimensions_flag", "cabac_unary_length_flag"):
+                if k in ndu_oob:
+                    h[k] = ndu_oob[k]
     return h
 
 
@@ -583,9 +646,13 @@ def _surface_performance_maps(model_info, h, kind):
             maps[kind][name] = h[key]
 
 
-def decode(bitstream, model_info=None, num_workers: int = 0):
+def decode(bitstream, model_info=None, num_workers: int = 0, ndu_oob=None):
     """Parse a full NNR bitstream. Returns (model_info, approx_data).
     (reference: coder/__init__.py:620-673)
+
+    ``ndu_oob``: for streams encoded with a full out-of-band dict
+    (``input_parameters_present_flag = 0``), pass the same
+    :func:`compile_ndu_oob` dict used at encode.
 
     ``num_workers > 1`` decodes NDU payloads in a thread pool: each NDU is an
     independent byte-delimited unit and the native CABAC decoder releases the
@@ -596,6 +663,11 @@ def decode(bitstream, model_info=None, num_workers: int = 0):
         # external model information doubles as the out-of-band parameter
         # source for streams encoded with compile_ndu_oob
         oob = model_info
+    if ndu_oob is not None:
+        # full-OOB streams (input_parameters_present_flag = 0): the caller
+        # hands back the same compile_ndu_oob dict used at encode; its
+        # stream-global values overlay the per-tensor dimension source
+        oob = {**(oob or {}), **ndu_oob}
     if model_info is None:
         model_info = {}
     model_info.setdefault("parameter_type", {})

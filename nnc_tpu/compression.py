@@ -333,14 +333,16 @@ def compress(parameter_dict,
 
 
 def decompress(bitstream_or_path, verbose=True, return_model_information=False,
-               num_workers=0, model_info=None):
+               num_workers=0, model_info=None, ndu_oob=None):
     """Decode an NNR bitstream back to a parameter dict.
     (reference: nnc/compression.py:566-672)
 
     num_workers > 1 decodes independent NDUs across host threads (the
     native decoder releases the GIL). ``model_info`` supplies external model
     information (required for streams encoded with out-of-band NDU headers,
-    see coder.compile_ndu_oob)."""
+    see coder.compile_ndu_oob); ``ndu_oob`` is the compile_ndu_oob dict
+    itself (required for fully out-of-band streams,
+    input_parameters_present_flag = 0)."""
     timer = StageTimer(verbose)
     if isinstance(bitstream_or_path, (str, os.PathLike)):
         with open(bitstream_or_path, "rb") as f:
@@ -351,7 +353,8 @@ def decompress(bitstream_or_path, verbose=True, return_model_information=False,
     with timer.stage("DECODING"):
         model_info, approx_data = coder.decode(bitstream,
                                                model_info=model_info,
-                                               num_workers=num_workers)
+                                               num_workers=num_workers,
+                                               ndu_oob=ndu_oob)
 
     with timer.stage("RECONSTRUCTION"):
         approximator.rec(approx_data, num_workers=num_workers)

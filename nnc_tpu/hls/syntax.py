@@ -388,6 +388,10 @@ def _oob_fill(h: dict, oob) -> None:
         raise ValueError(
             "bitstream uses out-of-band NDU parameters; decode requires "
             "external model information (tensor dimensions)")
+    if "tensor_dimensions" not in h and "tensor_dimensions" in oob:
+        # stream-global dims from a full-OOB dict (single-tensor streams)
+        h["tensor_dimensions"] = list(oob["tensor_dimensions"])
+        h["count_tensor_dimensions"] = len(h["tensor_dimensions"])
     if "tensor_dimensions" not in h:
         if h.get("nnr_multiple_topology_elements_present_flag"):
             # the weight (or its G factor) is the FIRST topology element of
@@ -438,6 +442,19 @@ def _read_ndu(r: BitReader, h: dict, oob=None) -> None:
         if h["compressed_parameter_types"] & BlockParameterTypes.NNR_CPT_DC:
             h["decomposition_rank"] = r.ue(7)
             h["g_number_of_rows"] = r.ue(7)
+    else:
+        # full out-of-band header (input_parameters_present_flag = 0):
+        # cpt + DC fields come from the stream-global OOB dict
+        if oob is None or "compressed_parameter_types" not in oob:
+            raise ValueError(
+                "bitstream uses fully out-of-band NDU parameters "
+                "(input_parameters_present_flag = 0); decode requires the "
+                "compile_ndu_oob dict used at encode (ndu_oob=...)")
+        h["compressed_parameter_types"] = int(
+            oob["compressed_parameter_types"])
+        if h["compressed_parameter_types"] & BlockParameterTypes.NNR_CPT_DC:
+            h["decomposition_rank"] = int(oob["decomposition_rank"])
+            h["g_number_of_rows"] = int(oob["g_number_of_rows"])
     if "tensor_dimensions" not in h or "cabac_unary_length_minus1" not in h:
         _oob_fill(h, oob)
 

@@ -339,6 +339,137 @@ def test_oob_ndu_headers_block_units():
                               ad_enc["parameters"][name]), name
 
 
+def _approx_for(d, block_map=None, scan_order=0, decompose_rank=None,
+                qp=-24):
+    nnc_mdl = nnr_model.NNRModel(d)
+    params = nnc_mdl.init_model_from_dict(d)
+    model_info = nnc_mdl.model_info
+    model_info["topology_storage_format"] = hls.TopologyStorageFormat.NNR_TPL_PYT
+    if block_map:
+        nnr_model.set_block_id_and_param_type(model_info, block_map)
+    approx_data = approximator.init_approx_data(params, model_info, 2,
+                                                scan_order)
+    if decompose_rank:
+        approximator.decompose_params(model_info, approx_data,
+                                      rank=decompose_rank)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 0, qp, False, False, 10, 0.0)
+    ad_enc = approximator.approx(ap_info.approx_info, model_info, approx_data,
+                                 verbose=False)
+    return model_info, ad_enc
+
+
+def test_full_oob_ipp0_roundtrip():
+    """Fully out-of-band NDU headers (input_parameters_present_flag = 0,
+    reference: syntax_compiler.py:44-63 + the latent ipp=0 decode branch,
+    hls/__init__.py:405-418): cpt/DC fields are externalized too; the
+    decoder takes the same compile_ndu_oob dict."""
+    rng = np.random.default_rng(32)
+    d = make_mlp_dict(rng, layers=2, width=24, in_dim=16)
+    model_info, ad_enc = _approx_for(d)
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+
+    bs_inband = coder.encode(enc_info, model_info, ad_enc)
+    sub = coder.compile_ndu_oob(tensor_dims=True,
+                                cabac_unary_length_minus1=10)
+    bs_sub = coder.encode(enc_info, model_info, ad_enc, ndu_oob=sub)
+    full = coder.compile_ndu_oob(tensor_dims=True,
+                                 cabac_unary_length_minus1=10,
+                                 compressed_parameter_types=0)
+    assert full["input_parameters_present_flag"] == 0
+    bs_full = coder.encode(enc_info, model_info, ad_enc, ndu_oob=full)
+    assert len(bs_full) <= len(bs_sub) < len(bs_inband)
+
+    # decode without the OOB dict must fail loudly
+    ext = {"parameter_dimensions": dict(model_info["parameter_dimensions"]),
+           "cabac_unary_length_minus1": 10}
+    with pytest.raises(ValueError, match="fully out-of-band"):
+        coder.decode(bs_full, model_info=ext)
+
+    dec_info, ad_dec = coder.decode(bs_full, model_info=ext, ndu_oob=full)
+    for name in d:
+        assert np.array_equal(ad_dec["parameters"][name],
+                              ad_enc["parameters"][name]), name
+
+
+def test_full_oob_ipp0_single_tensor_no_model_info():
+    """With explicit tensor_dims in the OOB dict, a single-tensor stream
+    decodes from the dict ALONE (no external parameter_dimensions)."""
+    rng = np.random.default_rng(33)
+    d = {"w": rng.normal(0, 0.05, (16, 12)).astype(np.float32)}
+    model_info, ad_enc = _approx_for(d)
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    oob = coder.compile_ndu_oob(tensor_dims=[16, 12],
+                                cabac_unary_length_minus1=10,
+                                compressed_parameter_types=0)
+    bs = coder.encode(enc_info, model_info, ad_enc, ndu_oob=oob)
+    dec_info, ad_dec = coder.decode(bs, ndu_oob=oob)
+    assert np.array_equal(ad_dec["parameters"]["w"], ad_enc["parameters"]["w"])
+
+
+def test_full_oob_ipp0_block_units():
+    """Block NDUs under full OOB: works when cpt is stream-global (every
+    block here is weight+bias -> NNR_CPT_BI)."""
+    rng = np.random.default_rng(34)
+    d = make_mlp_dict(rng, layers=2, width=24, in_dim=16)
+    model_info, ad_enc = _approx_for(d, block_map=make_block_map(d))
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    oob = coder.compile_ndu_oob(
+        tensor_dims=True, cabac_unary_length_minus1=10,
+        compressed_parameter_types=int(hls.BlockParameterTypes.NNR_CPT_BI))
+    bs = coder.encode(enc_info, model_info, ad_enc, ndu_oob=oob)
+    ext = {"parameter_dimensions": dict(model_info["parameter_dimensions"]),
+           "cabac_unary_length_minus1": 10}
+    dec_info, ad_dec = coder.decode(bs, model_info=ext, ndu_oob=oob)
+    for name in d:
+        assert np.array_equal(ad_dec["parameters"][name],
+                              ad_enc["parameters"][name]), name
+
+
+def test_full_oob_ipp0_dc_block():
+    """Full OOB on a DC-decomposed block: decomposition_rank/g_number_of_rows
+    ride in the OOB dict (the reference's only admitted ipp=0 shape)."""
+    rng = np.random.default_rng(35)
+    u = rng.normal(0, 0.3, (48, 4)).astype(np.float32)
+    v = rng.normal(0, 0.3, (4, 40)).astype(np.float32)
+    d = {"net.0.weight": u @ v,
+         "net.0.bias": rng.normal(0, 0.01, (48,)).astype(np.float32)}
+    model_info, ad_enc = _approx_for(d, block_map=make_block_map(d),
+                                     decompose_rank=4)
+    cpt = int(ad_enc["compressed_parameter_types"]["net.0"])
+    assert cpt & hls.BlockParameterTypes.NNR_CPT_DC
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    oob = coder.compile_ndu_oob(
+        tensor_dims=True, cabac_unary_length_minus1=10,
+        compressed_parameter_types=cpt,
+        decomposition_parameter_dict={
+            "decomposition_rank": int(
+                ad_enc["decomposition_rank"]["net.0"]),
+            "g_number_of_rows": int(ad_enc["g_number_of_rows"]["net.0"])})
+    assert oob["input_parameters_present_flag"] == 0
+    bs = coder.encode(enc_info, model_info, ad_enc, ndu_oob=oob)
+    ext = {"parameter_dimensions": dict(model_info["parameter_dimensions"]),
+           "cabac_unary_length_minus1": 10}
+    dec_info, ad_dec = coder.decode(bs, model_info=ext, ndu_oob=oob)
+    approximator.rec(ad_dec)
+    ad_final = approximator.recompose_params(dec_info, ad_dec)
+    assert ad_final["parameters"]["net.0.weight"].shape == (48, 40)
+
+
+def test_full_oob_ipp0_heterogeneous_cpt_raises():
+    """One OOB dict describes every NDU: encoding a stream whose units
+    disagree with it must fail loudly, not decode wrong."""
+    rng = np.random.default_rng(36)
+    d = make_mlp_dict(rng, layers=2, width=24, in_dim=16)
+    model_info, ad_enc = _approx_for(d, block_map=make_block_map(d))
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    oob = coder.compile_ndu_oob(tensor_dims=True,
+                                cabac_unary_length_minus1=10,
+                                compressed_parameter_types=0)
+    with pytest.raises(ValueError, match="stream-global"):
+        coder.encode(enc_info, model_info, ad_enc, ndu_oob=oob)
+
+
 def test_parallel_ndu_encode_matches_serial():
     rng = np.random.default_rng(14)
     d = make_mlp_dict(rng, layers=4, width=24, in_dim=12)
