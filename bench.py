@@ -59,7 +59,11 @@ def bench_render(jax, jnp):
 
     out = run()
     active = float(np.asarray(jnp.mean((out["acc_map"] > 1e-3) * 1.0)))
-    iters = 20
+    # the timing loop's trailing device->host read costs a fixed ~25-35 ms
+    # through the axon tunnel (measured: a tiny jit "costs" 1.27 ms/call at
+    # 30 iters but 0.23 at 300); amortize it over enough iterations that
+    # the per-iteration inflation is < 2% of the measured quantity
+    iters = 60
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()
@@ -207,7 +211,9 @@ def bench_train(jax, jnp):
         sc, st, loss, _ = step(sc, st, params, ro, rd, vd, tgt, 2.0, 6.0,
                                key)
         _ = float(loss)
-        iters = 30
+        # enough iterations to amortize the tunnel's fixed read cost (see
+        # bench_render) below 2% of a ~4-12 ms step
+        iters = 200
         t0 = time.perf_counter()
         for _ in range(iters):
             sc, st, loss, _ = step(sc, st, params, ro, rd, vd, tgt, 2.0,
