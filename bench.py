@@ -241,14 +241,26 @@ def bench_codec():
     sd = {k: np.asarray(v) for k, v in sd.items()}
     raw_bytes = sum(v.nbytes for v in sd.values())
 
-    t0 = time.perf_counter()
-    bs = compression.compress(sd, bitstream_path=None, qp=-20,
-                              return_bitstream=True, verbose=False,
-                              num_workers=4)
-    t_enc = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    compression.decompress(bs, verbose=False, num_workers=4)
-    t_dec = time.perf_counter() - t0
+    # warm-up: the first call pays one-time costs (ctypes load of the
+    # native CABAC lib, first-touch page faults) worth ~80 ms — a third of
+    # a cold single-shot measurement; MB/s reports steady state (best of 2)
+    warm = compression.compress(sd, bitstream_path=None, qp=-20,
+                                return_bitstream=True, verbose=False,
+                                num_workers=4)
+    compression.decompress(warm, verbose=False, num_workers=4)
+
+    t_enc = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        bs = compression.compress(sd, bitstream_path=None, qp=-20,
+                                  return_bitstream=True, verbose=False,
+                                  num_workers=4)
+        t_enc = min(t_enc, time.perf_counter() - t0)
+    t_dec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        compression.decompress(bs, verbose=False, num_workers=4)
+        t_dec = min(t_dec, time.perf_counter() - t0)
     return (raw_bytes / t_enc / 1e6, raw_bytes / t_dec / 1e6,
             len(bs) / raw_bytes)
 
