@@ -85,8 +85,11 @@ def _composite_block(raw, dists_blk, z_blk, csd_in, h, s):
     return maps_add, w, excl[:, s - 1:s] + sd[:, s - 1:s]
 
 
-def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True):
+def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True,
+                 inkernel_pts=False):
     def kernel(work_ref, ptsdir_ref, *refs):
+        if inkernel_pts:
+            rays_ref, refs = refs[0], refs[1:]
         n_out = 4 if want_weights else 3
         mlp_refs = refs[:-n_out]
         maps_ref = refs[-n_out]
@@ -125,9 +128,23 @@ def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True):
             # Rows 6/7 carry z and dists (the MLP only reads cols 0:6), so
             # the 16x-lane-padded block-major z/dists arrays and their
             # per-block DMAs are gone entirely.
-            x8 = ptsdir_ref[:].T
-            z_blk = x8[:, 6].reshape(r_t, s_blk)
-            dists_blk = x8[:, 7].reshape(r_t, s_blk)
+            if inkernel_pts:
+                # (2, q) z/dists block + per-tile (16, r_t) ray block; the
+                # pts = o + d*z FMA and the per-ray -> per-sample broadcast
+                # (an interleaved sublane jnp.repeat — works on Mosaic) run
+                # in-kernel, cutting the XLA producer's (8, M) HBM array to
+                # (2, M): the 6 pts/dir rows were 1.8 ms/frame of
+                # producer writes at the bench operating point.
+                x2 = ptsdir_ref[:].T                      # (q, 2)
+                z_blk = x2[:, 0].reshape(r_t, s_blk)
+                dists_blk = x2[:, 1].reshape(r_t, s_blk)
+                rep = jnp.repeat(rays_ref[:].T, s_blk, axis=0)  # (q, 16)
+                pts = rep[:, 0:3] + rep[:, 3:6] * x2[:, 0:1]
+                x8 = jnp.concatenate([pts, rep[:, 6:9]], axis=1)
+            else:
+                x8 = ptsdir_ref[:].T
+                z_blk = x8[:, 6].reshape(r_t, s_blk)
+                dists_blk = x8[:, 7].reshape(r_t, s_blk)
             # two independent half-tile chains interleave MXU/VPU work
             raw0 = _mlp_body_pts(x8[:half * s_blk], mlp_refs, dtype)
             raw1 = _mlp_body_pts(x8[half * s_blk:], mlp_refs, dtype)
@@ -162,7 +179,7 @@ def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True):
                                     "interpret", "want_weights"))
 def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
                           r_t, s_blk, term_csd, interpret=False,
-                          want_weights=True):
+                          want_weights=True, rays16=None):
     # ptsdir arrives transposed (8, M) with block-major samples on lanes;
     # rows 6/7 carry z and dists. ``work``: per-(i, j) flags (see
     # fused_render_pass). Dead blocks get their input indices remapped to
@@ -180,11 +197,21 @@ def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
         base = i * _nj + j
         return (0, jnp.where(w[base] != 0, base, 0))
 
+    inkernel_pts = rays16 is not None
     in_specs = [
         # lane blocks of r_t*s_blk are 128-divisible (Mosaic requires
         # lane blocks to be 128-divisible or whole-array)
-        pl.BlockSpec((8, r_t * s_blk), remap_T, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 if inkernel_pts else 8, r_t * s_blk), remap_T,
+                     memory_space=pltpu.VMEM),
     ]
+    if inkernel_pts:
+        # per-tile ray block (constant across j; dead steps remap to tile 0
+        # like the sample blocks, so skipped runs elide the DMA). Lane
+        # blocks of r_t require r_t % 128 == 0 (the caller gates on it).
+        def remap_rays(i, j, w, _nj=n_j):
+            return (0, jnp.where(w[i * _nj + j] != 0, i, 0))
+        in_specs.append(pl.BlockSpec((16, r_t), remap_rays,
+                                     memory_space=pltpu.VMEM))
     in_specs += [full(packed[k]) for k in _W_ORDER]
     in_specs += [full(biases[k]) for k in _B_ORDER]
 
@@ -211,7 +238,8 @@ def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
         ],
     )
     outs = pl.pallas_call(
-        _make_kernel(r_t, s_blk, n_j, term_csd, want_weights),
+        _make_kernel(r_t, s_blk, n_j, term_csd, want_weights,
+                     inkernel_pts=inkernel_pts),
         grid_spec=grid_spec,
         out_shape=(maps_shape, w_shape) if want_weights else (maps_shape,),
         interpret=interpret,
@@ -224,6 +252,7 @@ def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
             bytes_accessed=n_rays * s * 44,
             transcendentals=n_rays * s * 90),
     )(work, ptsdir,
+      *(() if rays16 is None else (rays16,)),
       *[packed[k] for k in _W_ORDER], *[biases[k] for k in _B_ORDER])
     if not want_weights:
         return outs[0], None
@@ -303,21 +332,36 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     q = r_t * s_blk
     z_q = z_vals.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
         .reshape(n_i, n_j, q)
-
-    def expand(col):   # (n_pad,) per-ray value -> (n_i, n_j, q)
-        cq = jnp.repeat(col.reshape(n_i, r_t), s_blk, axis=1)
-        return jnp.broadcast_to(cq[:, None, :], (n_i, n_j, q))
-
     dists_q = dists.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
         .reshape(n_i, n_j, q)
-    rows = [expand(rays_o[:, d]) + expand(rays_d[:, d]) * z_q
-            for d in range(3)]
-    rows += [expand(viewdirs[:, d]) for d in range(3)]
-    # rows 6/7 carry z and dists into the kernel (the MLP reads only cols
-    # 0:6 after the in-kernel transpose) — no separate 16x-lane-padded
-    # block-major arrays, no extra per-block DMAs
-    rows += [z_q, dists_q]
-    ptsdir = jnp.stack(rows).reshape(8, n_sample)
+
+    # When ray tiles are whole-lane blocks (r_t % 128), pts/dirs are built
+    # INSIDE the kernel from a tiny per-tile (16, r_t) ray block — the HBM
+    # input shrinks from (8, M) to (2, M) [z, dists] and the producer's 6
+    # expanded pts/dir rows (~1.8 ms/frame of XLA writes at the bench
+    # operating point) disappear. Non-128-multiple tiles (the exact path's
+    # 64-wide tiles) keep the 8-row layout: lane blocks must be
+    # 128-divisible for the rays BlockSpec.
+    inkernel_pts = (r_t % 128 == 0)
+    if inkernel_pts:
+        ptsdir = jnp.stack([z_q, dists_q]).reshape(2, n_sample)
+        rays16 = jnp.concatenate(
+            [rays_o.T, rays_d.T, viewdirs.T,
+             jnp.zeros((7, n_pad), jnp.float32)], axis=0)
+    else:
+        def expand(col):   # (n_pad,) per-ray value -> (n_i, n_j, q)
+            cq = jnp.repeat(col.reshape(n_i, r_t), s_blk, axis=1)
+            return jnp.broadcast_to(cq[:, None, :], (n_i, n_j, q))
+
+        rows = [expand(rays_o[:, d]) + expand(rays_d[:, d]) * z_q
+                for d in range(3)]
+        rows += [expand(viewdirs[:, d]) for d in range(3)]
+        # rows 6/7 carry z and dists into the kernel (the MLP reads only
+        # cols 0:6 after the in-kernel transpose) — no separate
+        # 16x-lane-padded block-major arrays, no extra per-block DMAs
+        rows += [z_q, dists_q]
+        ptsdir = jnp.stack(rows).reshape(8, n_sample)
+        rays16 = None
 
     if ray_flags is None:
         flags = jnp.ones((n_i,), jnp.int32)
@@ -339,7 +383,8 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
 
     maps, weights_bm = _fused_render_et_call(
         packed, biases, work, ptsdir, n_i, s, r_t, s_blk,
-        term_csd, interpret=interpret, want_weights=return_weights)
+        term_csd, interpret=interpret, want_weights=return_weights,
+        rays16=rays16)
     maps = maps[:n_rays]
     if raw_maps:
         out = {"maps": maps}
