@@ -116,6 +116,22 @@ def test_fused_render_pass_multiblock_and_padding():
                                    atol=1e-5)
 
 
+def test_fused_render_pass_inkernel_pts_layout():
+    """128-multiple ray tiles take the in-kernel pts/dirs path ((2, M)
+    z/dists input + per-tile (16, r_t) ray block, interleaved sublane
+    repeat in-kernel) — must match the XLA reference exactly, including
+    ray-count padding up to the tile."""
+    from nnc_tpu.ops.render_pallas import fused_render_pass
+
+    mlp, params, ro, rd, vd, z = _render_fixture(40, 16)
+    out = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                            early_term_eps=0.0, r_t=128, s_blk=8)
+    ref = _reference_pass(params, ro, rd, vd, z, mlp)
+    for k in ("rgb_map", "acc_map", "weights"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=1e-5)
+
+
 def test_fused_render_pass_early_termination_bounded():
     """Early termination changes results by at most eps_T per map entry on a
     dense (activated) scene, and actually terminates (weights past the
