@@ -138,8 +138,10 @@ def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True,
                 x2 = ptsdir_ref[:].T                      # (q, 2)
                 z_blk = x2[:, 0].reshape(r_t, s_blk)
                 dists_blk = x2[:, 1].reshape(r_t, s_blk)
-                rep = jnp.repeat(rays_ref[:].T, s_blk, axis=0)  # (q, 16)
-                pts = rep[:, 0:3] + rep[:, 3:6] * x2[:, 0:1]
+                # ray block lanes are padded up to 128 for sub-128 tiles;
+                # only the first r_t rays are real
+                rep = jnp.repeat(rays_ref[:].T[:r_t], s_blk, axis=0)
+                pts = rep[:, 0:3] + rep[:, 3:6] * x2[:, 0:1]  # (q, 16)
                 x8 = jnp.concatenate([pts, rep[:, 6:9]], axis=1)
             else:
                 x8 = ptsdir_ref[:].T
@@ -207,10 +209,13 @@ def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
     if inkernel_pts:
         # per-tile ray block (constant across j; dead steps remap to tile 0
         # like the sample blocks, so skipped runs elide the DMA). Lane
-        # blocks of r_t require r_t % 128 == 0 (the caller gates on it).
+        # blocks must be 128-divisible, so sub-128 tiles arrive padded to
+        # 128 lanes per tile (the caller builds rays16 accordingly).
+        lane = r_t if r_t % 128 == 0 else 128
+
         def remap_rays(i, j, w, _nj=n_j):
             return (0, jnp.where(w[i * _nj + j] != 0, i, 0))
-        in_specs.append(pl.BlockSpec((16, r_t), remap_rays,
+        in_specs.append(pl.BlockSpec((16, lane), remap_rays,
                                      memory_space=pltpu.VMEM))
     in_specs += [full(packed[k]) for k in _W_ORDER]
     in_specs += [full(biases[k]) for k in _B_ORDER]
@@ -335,19 +340,28 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     dists_q = dists.reshape(n_i, r_t, n_j, s_blk).swapaxes(1, 2) \
         .reshape(n_i, n_j, q)
 
-    # When ray tiles are whole-lane blocks (r_t % 128), pts/dirs are built
-    # INSIDE the kernel from a tiny per-tile (16, r_t) ray block — the HBM
-    # input shrinks from (8, M) to (2, M) [z, dists] and the producer's 6
-    # expanded pts/dir rows (~1.8 ms/frame of XLA writes at the bench
-    # operating point) disappear. Non-128-multiple tiles (the exact path's
-    # 64-wide tiles) keep the 8-row layout: lane blocks must be
-    # 128-divisible for the rays BlockSpec.
+    # pts/dirs are built INSIDE the kernel from a tiny per-tile (16, lane)
+    # ray block — the HBM input shrinks from (8, M) to (2, M) [z, dists]
+    # and the producer's 6 expanded pts/dir rows (~1.8 ms/frame of XLA
+    # writes at the bench operating point) disappear. Lane blocks must be
+    # 128-divisible, so sub-128 tiles (the exact path's 64-wide default)
+    # pad each tile's rays to 128 lanes; tiles above 128 that aren't
+    # multiples keep the legacy 8-row layout.
+    # sub-128 tiles support the padded in-kernel layout too (see below)
+    # but stay on the legacy 8-row path until it measures faster on TPU:
+    # the in-kernel FMA rounds pts slightly differently (1e-5-level map
+    # jitter vs the XLA producer), so flipping exact-path numerics needs a
+    # perf justification.
     inkernel_pts = (r_t % 128 == 0)
     if inkernel_pts:
         ptsdir = jnp.stack([z_q, dists_q]).reshape(2, n_sample)
+        r9t = jnp.concatenate([rays_o, rays_d, viewdirs], axis=1)
+        if r_t % 128 != 0:
+            r9t = jnp.pad(r9t.reshape(n_i, r_t, 9),
+                          ((0, 0), (0, 128 - r_t), (0, 0))) \
+                .reshape(n_i * 128, 9)
         rays16 = jnp.concatenate(
-            [rays_o.T, rays_d.T, viewdirs.T,
-             jnp.zeros((7, n_pad), jnp.float32)], axis=0)
+            [r9t.T, jnp.zeros((7, r9t.shape[0]), jnp.float32)], axis=0)
     else:
         def expand(col):   # (n_pad,) per-ray value -> (n_i, n_j, q)
             cq = jnp.repeat(col.reshape(n_i, r_t), s_blk, axis=1)
