@@ -19,6 +19,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is XLA-compile-dominated on the
+# 1-core CI env (~16 min cold); cached reruns skip recompiles entirely.
+# Keys include jaxlib version/flags/HLO, so stale hits are not a concern.
+_cache_dir = os.environ.get("NNC_TPU_JAX_CACHE",
+                            os.path.expanduser("~/.cache/nnc_tpu_jax"))
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:  # older jaxlib without the knobs: run uncached
+    pass
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
