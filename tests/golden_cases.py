@@ -203,6 +203,38 @@ def _perf_maps(prefix):
     return out
 
 
+def encode_oob_case():
+    """Fully out-of-band NDU headers (input_parameters_present_flag = 0):
+    the whole input-params block (dims, unary length, cpt) lives in the
+    compile_ndu_oob dict; the stream alone is not decodable. Returns
+    (bitstream bytes, external model_info dict, oob dict, decoded int
+    parameter dict) — the ext/oob dicts are deterministic and rebuilt at
+    verification time."""
+    from nnc_tpu import coder, hls
+    from nnc_tpu.core import approximator, model as nnr_model
+
+    d = _mlp_dict(909, layers=2, width=24, in_dim=16)
+    mdl = nnr_model.NNRModel(d)
+    params = mdl.init_model_from_dict(d)
+    model_info = mdl.model_info
+    model_info["topology_storage_format"] = \
+        hls.TopologyStorageFormat.NNR_TPL_PYT
+    approx_data = approximator.init_approx_data(params, model_info, 2, 0)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 0, -24, False, False, 10, 0.0)
+    ad_enc = approximator.approx(ap_info.approx_info, model_info,
+                                 approx_data, verbose=False)
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    oob = coder.compile_ndu_oob(tensor_dims=True,
+                                cabac_unary_length_minus1=10,
+                                compressed_parameter_types=0)
+    bs = coder.encode(enc_info, model_info, ad_enc, ndu_oob=oob)
+    ext = {"parameter_dimensions": dict(model_info["parameter_dimensions"]),
+           "cabac_unary_length_minus1": 10}
+    _info, ad_dec = coder.decode(bytes(bs), model_info=ext, ndu_oob=oob)
+    return bytes(bs), ext, oob, dict(ad_dec["parameters"])
+
+
 def encode_units_case():
     """Returns (bitstream bytes, surfaced model_info flags/maps)."""
     from nnc_tpu import coder, hls

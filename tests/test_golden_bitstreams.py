@@ -72,6 +72,24 @@ def test_units_case_byte_identity_and_decode():
         json.loads(json.dumps(expected, sort_keys=True))
 
 
+def test_oob_case_byte_identity_and_decode():
+    """ipp=0 (fully out-of-band headers) stream: byte identity + decode via
+    the rebuilt external/oob dicts to the pinned int tensors."""
+    bs, ext, oob, params = golden_cases.encode_oob_case()
+    golden = _read("full_oob_ipp0.nnc")
+    assert bs == golden, (
+        "full-OOB stream layout changed. If intentional: bump "
+        "hls.FORMAT_VERSION and run tools/regen_golden.py")
+    from nnc_tpu import coder
+    _info, ad = coder.decode(golden, model_info=ext, ndu_oob=oob)
+    expected = np.load(os.path.join(GOLDEN_DIR,
+                                    "full_oob_ipp0.expected.npz"))
+    assert set(ad["parameters"].keys()) == set(expected.files)
+    for k in expected.files:
+        assert np.array_equal(ad["parameters"][k], expected[k]), k
+        assert np.array_equal(params[k], expected[k]), k
+
+
 def _archived_versions():
     return sorted(d for d in os.listdir(GOLDEN_DIR)
                   if d.startswith("v") and

@@ -32,6 +32,12 @@ def main():
         np.savez(os.path.join(out_dir, f"{name}.expected.npz"), **rec)
         print(f"{name}: {len(bs)} bytes, {len(rec)} tensors")
 
+    bs, _ext, _oob, params = golden_cases.encode_oob_case()
+    with open(os.path.join(out_dir, "full_oob_ipp0.nnc"), "wb") as f:
+        f.write(bs)
+    np.savez(os.path.join(out_dir, "full_oob_ipp0.expected.npz"), **params)
+    print(f"full_oob_ipp0: {len(bs)} bytes, {len(params)} tensors")
+
     bs, surfaced = golden_cases.encode_units_case()
     with open(os.path.join(out_dir, "mps_lps_perfmaps.nnc"), "wb") as f:
         f.write(bs)
