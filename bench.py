@@ -265,7 +265,30 @@ def bench_codec():
             len(bs) / raw_bytes)
 
 
+def _probe_device(timeout_s: float = 180.0):
+    """Fail fast (with a recordable JSON error) when the TPU backend is
+    unreachable. jax's device init hangs in C when the axon tunnel is down
+    — a Python-side alarm cannot interrupt it — so the probe runs in a
+    subprocess that can be killed on timeout."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; jnp.ones(8).sum().item()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError(
+            f"device backend unreachable (init probe exceeded "
+            f"{timeout_s:.0f}s — TPU tunnel down?)")
+    except subprocess.CalledProcessError as e:
+        raise RuntimeError(
+            "device backend probe failed: "
+            + e.stderr.decode(errors="replace")[-200:])
+
+
 def main():
+    _probe_device()
     import jax
     import jax.numpy as jnp
 
