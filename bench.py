@@ -151,14 +151,16 @@ def bench_quality(jax, jnp):
                  np.float32)
     poses = look_at_poses(4, seed=1)
 
-    def sweep(params_c, params_f):
-        grid = occupancy.build_occupancy_grid(params_c, None, mlp, res=128)
+    def sweep(params_c, params_f, *, dilate=3, subsample=4):
+        grid = occupancy.build_occupancy_grid(params_c, None, mlp, res=128,
+                                              dilate=dilate)
 
         @jax.jit
         def run_fast(ro, rd, vd):
             return occupancy.render_rays_fast(
                 params_f, None, ro, rd, vd, 2.0, 6.0, grid, rc,
-                n_candidates=48, budget=16, layout=(H, W), subsample=4)
+                n_candidates=48, budget=16, layout=(H, W),
+                subsample=subsample)
 
         min_psnr = np.inf
         for pose in poses:
@@ -179,7 +181,13 @@ def bench_quality(jax, jnp):
     fog_f = _activate(nerf.init_params(jax.random.PRNGKey(8), mlp), 8)
     fog_psnr, fog_open = sweep(fog_c, fog_f)
     assert not solid_open and fog_open, (solid_open, fog_open)
-    return solid_psnr, fog_psnr
+    # turbo operating point (sub=8 / dilate=5, documented in BASELINE.md as
+    # ~10.4M rays/s at ~1 dB devPSNR cost): gate it so a silhouette-miss
+    # regression in the turbo path is driver-visible (VERDICT r3 Weak #6).
+    # dilate=4 at sub=8 is known-insufficient (pose-dependent maxdev 0.30).
+    turbo_psnr, _ = sweep(make_solid_mlp(mlp), make_solid_mlp(mlp),
+                          dilate=5, subsample=8)
+    return solid_psnr, fog_psnr, turbo_psnr
 
 
 def bench_train(jax, jnp):
@@ -228,8 +236,14 @@ def bench_train(jax, jnp):
 
 
 def bench_codec():
+    import os
+
     from nnc_tpu import compression
     from nnc_tpu.models import nerf
+
+    # host-parallel NDU coding only pays off with real cores; on a 1-core
+    # host the thread handoffs cost ~8% (measured 46.4 vs 43.5 MB/s)
+    nw = 1 if (os.cpu_count() or 1) == 1 else 4
 
     mlp = nerf.NeRFConfig()
     import jax
@@ -246,20 +260,20 @@ def bench_codec():
     # a cold single-shot measurement; MB/s reports steady state (best of 2)
     warm = compression.compress(sd, bitstream_path=None, qp=-20,
                                 return_bitstream=True, verbose=False,
-                                num_workers=4)
-    compression.decompress(warm, verbose=False, num_workers=4)
+                                num_workers=nw)
+    compression.decompress(warm, verbose=False, num_workers=nw)
 
     t_enc = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
         bs = compression.compress(sd, bitstream_path=None, qp=-20,
                                   return_bitstream=True, verbose=False,
-                                  num_workers=4)
+                                  num_workers=nw)
         t_enc = min(t_enc, time.perf_counter() - t0)
     t_dec = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        compression.decompress(bs, verbose=False, num_workers=4)
+        compression.decompress(bs, verbose=False, num_workers=nw)
         t_dec = min(t_dec, time.perf_counter() - t0)
     return (raw_bytes / t_enc / 1e6, raw_bytes / t_dec / 1e6,
             len(bs) / raw_bytes)
@@ -294,7 +308,7 @@ def main():
 
     (rays_per_sec, active, fast_rps, frame_active, fast_crop_rps,
      fast_dev) = bench_render(jax, jnp)
-    solid_devpsnr, fog_devpsnr = bench_quality(jax, jnp)
+    solid_devpsnr, fog_devpsnr, turbo_devpsnr = bench_quality(jax, jnp)
     train_s, occ_train_s = bench_train(jax, jnp)
     train_ms, occ_train_ms = train_s * 1e3, occ_train_s * 1e3
     enc_mbps, dec_mbps, ratio = bench_codec()
@@ -317,6 +331,7 @@ def main():
             "occupancy_fast_mode_max_rgb_dev": round(fast_dev, 4),
             "fast_mode_min_devpsnr_posesweep": round(solid_devpsnr, 2),
             "fast_mode_devpsnr_fog": round(fog_devpsnr, 2),
+            "fast_mode_min_devpsnr_turbo_sub8": round(turbo_devpsnr, 2),
             "lsa_train_step_ms_nrand1024": round(train_ms, 2),
             "lsa_train_rays_per_sec": round(1024 / (train_ms / 1e3), 1),
             "lsa_occ_train_step_ms_nrand1024": round(occ_train_ms, 2),
@@ -325,6 +340,11 @@ def main():
             "codec_encode_MBps": round(enc_mbps, 2),
             "codec_decode_MBps": round(dec_mbps, 2),
             "compression_ratio_qp20": round(ratio, 4),
+            # timing methodology: since r3 the trailing device->host probe
+            # read (~25-35 ms tunnel RTT) is amortized over >=60 iters;
+            # r2-and-earlier recorded numbers are 5-15% pessimistic under
+            # the old loop (BENCH_r02's 7.15M frame re-measures at ~8.5M).
+            "timing_note_r2_numbers_pessimistic_pct": 10,
         },
     }))
 

@@ -8,6 +8,19 @@ Pipeline (reference: compress_nerf.py:5-63):
   5. convert back to a standard nerf-pytorch .tar
 """
 import argparse
+import os
+
+# honor JAX_PLATFORMS even when a platform plugin (e.g. axon) is installed:
+# the plugin registration otherwise wins over the env var, which both
+# ignores the user's explicit choice and hangs at init when the requested-
+# away backend's tunnel is down
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 import nnc_tpu
 from nnc_tpu.utils import ckpt as utils
@@ -53,7 +66,13 @@ def main(args):
         use_fused_mlp=args.use_fused_mlp,
         occupancy_renders=args.occupancy_renders,
         occupancy_tuning=args.occupancy_tuning,
-        num_workers=args.num_workers)
+        num_workers=args.num_workers,
+        render_factor=args.render_factor,
+        precrop_iters=args.precrop_iters,
+        precrop_frac=args.precrop_frac,
+        N_rand=args.N_rand,
+        n_samples=args.n_samples,
+        n_importance=args.n_importance)
 
     nnc_tpu.decompress_model(path_dict["bitstream"],
                              model_path=path_dict["reconstructed"])
@@ -99,6 +118,19 @@ def build_parser():
                              "(~3x faster steps, slightly lossy objective).")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Host threads for parallel NDU encode/decode.")
+    parser.add_argument("--render_factor", type=int, default=0,
+                        help="Downsample spiral/preview renders by this "
+                             "divisor (0 = full res; ref run_nerf.py:161).")
+    parser.add_argument("--precrop_iters", type=int, default=0,
+                        help="Sample from the image center crop for the "
+                             "first N batches (ref run_nerf.py:715-725).")
+    parser.add_argument("--precrop_frac", type=float, default=0.5)
+    parser.add_argument("--N_rand", type=int, default=1024,
+                        help="Rays per LSA tuning batch.")
+    parser.add_argument("--n_samples", type=int, default=64,
+                        help="Coarse samples per ray.")
+    parser.add_argument("--n_importance", type=int, default=None,
+                        help="Fine samples per ray (default: scene preset).")
     return parser
 
 

@@ -34,6 +34,15 @@
 #include <algorithm>
 #include <thread>
 
+// Built with -march=native: AVX2 paths compile in only where the build host
+// supports them. All SIMD below performs the exact same arithmetic in the
+// same FP/integer operation order as its scalar fallback, so quantization
+// decisions and bitstream bytes are identical either way (golden fixtures
+// pin this).
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ----------------------------------------------------------------------------
@@ -383,10 +392,33 @@ static inline double rate_est(int32_t q, int unary_len) {
 // with the smaller predecessor state first (matching the s-ascending scan
 // order of the textbook scatter relaxation, so strict-< tie-breaking is
 // preserved); kPredLane is the candidate lane q_offset(pred)*2 + parity.
-static const uint8_t kPredState[8][2] = {
+static constexpr uint8_t kPredState[8][2] = {
     {0, 4}, {2, 6}, {0, 4}, {2, 6}, {3, 7}, {1, 5}, {3, 7}, {1, 5}};
-static const uint8_t kPredLane[8][2] = {
+static constexpr uint8_t kPredLane[8][2] = {
     {0, 1}, {2, 3}, {1, 0}, {3, 2}, {3, 2}, {0, 1}, {2, 3}, {1, 0}};
+
+// the AVX2 relaxation in quant_dq_chunk encodes these tables as permute
+// immediates; pin them so a table edit cannot silently desynchronize
+static_assert(kPredState[0][0] == 0 && kPredState[1][0] == 2 &&
+                  kPredState[2][0] == 0 && kPredState[3][0] == 2 &&
+                  kPredState[4][0] == 3 && kPredState[5][0] == 1 &&
+                  kPredState[6][0] == 3 && kPredState[7][0] == 1,
+              "predA imms 0x88/0x77 stale");
+static_assert(kPredState[0][1] == 4 && kPredState[1][1] == 6 &&
+                  kPredState[2][1] == 4 && kPredState[3][1] == 6 &&
+                  kPredState[4][1] == 7 && kPredState[5][1] == 5 &&
+                  kPredState[6][1] == 7 && kPredState[7][1] == 5,
+              "predB imms 0x88/0x77 stale");
+static_assert(kPredLane[0][0] == 0 && kPredLane[1][0] == 2 &&
+                  kPredLane[2][0] == 1 && kPredLane[3][0] == 3 &&
+                  kPredLane[4][0] == 3 && kPredLane[5][0] == 0 &&
+                  kPredLane[6][0] == 2 && kPredLane[7][0] == 1,
+              "laneA imms 0xD8/0x63 stale");
+static_assert(kPredLane[0][1] == 1 && kPredLane[1][1] == 3 &&
+                  kPredLane[2][1] == 0 && kPredLane[3][1] == 2 &&
+                  kPredLane[4][1] == 2 && kPredLane[5][1] == 1 &&
+                  kPredLane[6][1] == 3 && kPredLane[7][1] == 0,
+              "laneB imms 0x8D/0x36 stale");
 
 // 8-state trellis (Viterbi) dependent quantization of one chunk.
 // States reset to 0 at chunk start; returns nothing (q filled).
@@ -472,6 +504,37 @@ static void quant_dq_chunk(const float* x, int32_t* q, int64_t n, double delta,
     // chain, and the backtrack only ever walks finite-cost states (a
     // finite final cost implies a finite predecessor chain), so not
     // special-casing them cannot change the output.
+#ifdef __AVX2__
+    {
+      // vectorized gather relaxation: states 0-3 / 4-7 as two 4-double
+      // lanes. The permute immediates encode kPredState/kPredLane rows
+      // (asserted against the tables below); b<a and (b<a ? b : a) keep
+      // the scalar path's strict-< tie-breaking (VMINPD(b, a) returns a
+      // on ties).
+      const __m256d clo = _mm256_loadu_pd(cost);
+      const __m256d chi = _mm256_loadu_pd(cost + 4);
+      const __m256d cand = _mm256_loadu_pd(c4);
+      // lo group (s2 = 0..3): predA = cost[{0,2,0,2}], predB = cost[{4,6,4,6}]
+      //                       laneA = c4[{0,2,1,3}],  laneB = c4[{1,3,0,2}]
+      const __m256d a_lo = _mm256_add_pd(_mm256_permute4x64_pd(clo, 0x88),
+                                         _mm256_permute4x64_pd(cand, 0xD8));
+      const __m256d b_lo = _mm256_add_pd(_mm256_permute4x64_pd(chi, 0x88),
+                                         _mm256_permute4x64_pd(cand, 0x8D));
+      // hi group (s2 = 4..7): predA = cost[{3,1,3,1}], predB = cost[{7,5,7,5}]
+      //                       laneA = c4[{3,0,2,1}],  laneB = c4[{2,1,3,0}]
+      const __m256d a_hi = _mm256_add_pd(_mm256_permute4x64_pd(clo, 0x77),
+                                         _mm256_permute4x64_pd(cand, 0x63));
+      const __m256d b_hi = _mm256_add_pd(_mm256_permute4x64_pd(chi, 0x77),
+                                         _mm256_permute4x64_pd(cand, 0x36));
+      const uint32_t take_lo = (uint32_t)_mm256_movemask_pd(
+          _mm256_cmp_pd(b_lo, a_lo, _CMP_LT_OQ));
+      const uint32_t take_hi = (uint32_t)_mm256_movemask_pd(
+          _mm256_cmp_pd(b_hi, a_hi, _CMP_LT_OQ));
+      tb[i] = (uint8_t)(take_lo | (take_hi << 4));
+      _mm256_storeu_pd(cost, _mm256_min_pd(b_lo, a_lo));
+      _mm256_storeu_pd(cost + 4, _mm256_min_pd(b_hi, a_hi));
+    }
+#else
     double nc[S];
     uint32_t tbb = 0;
     for (int s2 = 0; s2 < S; ++s2) {
@@ -483,6 +546,7 @@ static void quant_dq_chunk(const float* x, int32_t* q, int64_t n, double delta,
     }
     tb[i] = (uint8_t)tbb;
     for (int s = 0; s < S; ++s) cost[s] = nc[s];
+#endif
   }
 
   // backtrack from the best final state
@@ -592,7 +656,10 @@ struct ProfileEstimator {
   // arithmetic and cost accounting are identical, so the selected profile
   // — and therefore the bitstream — cannot change.
   struct C4 {
-    uint16_t a[P], b[P];
+    // 32-bit lanes (not uint16 like Ctx) so the 4 profiles update as one
+    // SIMD vector; the estimator arithmetic never wraps uint16 (a stays in
+    // [0, 32768] by construction) so the widening is value-identical
+    alignas(16) int32_t a[P], b[P];
     void init() {
       for (int p = 0; p < P; ++p) {
         a[p] = 1 << 14;
@@ -638,21 +705,43 @@ struct ProfileEstimator {
 
   inline void bin4(C4& c, int b) {
     const uint32_t* tab = table(b);
+#ifdef __AVX2__
+    // all four profile lanes in one vector; per-lane adaptation shifts are
+    // the kCtxProfiles constants (pinned by the static_asserts below) as
+    // _mm_srav_epi32 counts. Integer arithmetic — exactly the scalar path.
+    const __m128i av = _mm_load_si128((const __m128i*)c.a);
+    const __m128i bv = _mm_load_si128((const __m128i*)c.b);
+    const __m128i idx = _mm_srli_epi32(_mm_add_epi32(av, bv), 8);
+    cost[0] += tab[(uint32_t)_mm_extract_epi32(idx, 0)];
+    cost[1] += tab[(uint32_t)_mm_extract_epi32(idx, 1)];
+    cost[2] += tab[(uint32_t)_mm_extract_epi32(idx, 2)];
+    cost[3] += tab[(uint32_t)_mm_extract_epi32(idx, 3)];
+    const __m128i tv = _mm_set1_epi32(b << 15);
+    _mm_store_si128(
+        (__m128i*)c.a,
+        _mm_add_epi32(av, _mm_srav_epi32(_mm_sub_epi32(tv, av),
+                                         _mm_setr_epi32(4, 3, 5, 2))));
+    _mm_store_si128(
+        (__m128i*)c.b,
+        _mm_add_epi32(bv, _mm_srav_epi32(_mm_sub_epi32(tv, bv),
+                                         _mm_setr_epi32(7, 6, 8, 5))));
+#else
     const int t = b << 15;
     // lanes unrolled with the kCtxProfiles shifts as literals (pinned by
     // the static_asserts below); same arithmetic as Ctx::prob/update
-#define EST_LANE(p, as, bs)                                           \
-  {                                                                   \
-    const uint32_t pr = ((uint32_t)c.a[p] + (uint32_t)c.b[p]) >> 1;   \
-    cost[p] += tab[pr >> 7];                                          \
-    c.a[p] = (uint16_t)(c.a[p] + ((t - (int)c.a[p]) >> (as)));        \
-    c.b[p] = (uint16_t)(c.b[p] + ((t - (int)c.b[p]) >> (bs)));        \
+#define EST_LANE(p, as, bs)                                      \
+  {                                                              \
+    const uint32_t pr = ((uint32_t)c.a[p] + (uint32_t)c.b[p]) >> 1; \
+    cost[p] += tab[pr >> 7];                                     \
+    c.a[p] = c.a[p] + ((t - c.a[p]) >> (as));                    \
+    c.b[p] = c.b[p] + ((t - c.b[p]) >> (bs));                    \
   }
     EST_LANE(0, 4, 7)
     EST_LANE(1, 3, 6)
     EST_LANE(2, 5, 8)
     EST_LANE(3, 2, 5)
 #undef EST_LANE
+#endif
   }
 
   inline int rice_order() const {  // same logic as TensorCtxs::rice_order

@@ -89,7 +89,13 @@ def compress_model(model_path_or_object,
                    occupancy_renders=False,
                    occupancy_tuning=False,
                    decompose_rank=None,
-                   decompose_energy=None):
+                   decompose_energy=None,
+                   render_factor=0,
+                   precrop_iters=0,
+                   precrop_frac=0.5,
+                   N_rand=1024,
+                   n_samples=64,
+                   n_importance=None):
     """Compress a model (torch module, state dict, flat numpy dict, or file
     path) into an NNR bitstream. (reference: nnc/compression.py:74-315)"""
     from .framework import tf_io, torch_io
@@ -140,13 +146,26 @@ def compress_model(model_path_or_object,
     if (lsa or fine_tune or ioq) and model_executer is None \
             and task_type == "NeRF":
         from .train.presets import create_nerf_model_executer
+        if mlp_config is None:
+            # infer D/W/skips/viewdirs from the checkpoint itself so
+            # non-8x256 models work without an explicit mlp_config (the
+            # reference hardcodes the architecture, utils.py:18-80)
+            try:
+                from .models import nerf as _nerf
+                mlp_config = _nerf.config_from_state_dict(parameters,
+                                                          "model.")
+            except Exception:
+                mlp_config = None
         try:
             model_executer = create_nerf_model_executer(
                 dataset_type=dataset_type, dataset_path=dataset_path,
                 scene=scene, learning_rate=learning_rate, epochs=epochs,
                 learning_rate_decay=learning_rate_decay, n_iters=N_iters,
                 i_save=i_save, mlp_config=mlp_config, mesh=mesh,
-                use_fused_mlp=use_fused_mlp, verbose=verbose)
+                use_fused_mlp=use_fused_mlp, verbose=verbose,
+                render_factor=render_factor, precrop_iters=precrop_iters,
+                precrop_frac=precrop_frac, n_rand=N_rand,
+                n_samples=n_samples, n_importance=n_importance)
         except Exception as e:
             # graceful degradation, mirroring the reference's capability
             # gating (nnc/compression.py:424-436): a missing dataset or

@@ -16,8 +16,16 @@ from ..render.rays import get_rays_np
 
 class RayBatcher:
     def __init__(self, images, poses, K, i_train, n_rand: int,
-                 mode: str = "image", seed: int = 0):
-        """images: (N, H, W, 3) float32; poses: (N, 3|4, 4); K: (3,3)."""
+                 mode: str = "image", seed: int = 0,
+                 precrop_iters: int = 0, precrop_frac: float = 0.5):
+        """images: (N, H, W, 3) float32; poses: (N, 3|4, 4); K: (3,3).
+
+        precrop_iters/precrop_frac: for the first ``precrop_iters`` batches
+        in "image" mode, sample pixels only from the center crop of size
+        (2*int(H//2*frac), 2*int(W//2*frac)) — the original-NeRF warmup
+        (reference: run_nerf.py:466,715-725; its LSA bridge pins this to 0,
+        train_nerf.py:37-53, so it only matters for train-from-scratch).
+        """
         assert mode in ("image", "pool")
         self.images = np.asarray(images, np.float32)
         self.poses = np.asarray(poses, np.float32)
@@ -28,6 +36,9 @@ class RayBatcher:
         self.mode = mode
         self.rng = np.random.default_rng(seed)
         self.H, self.W = self.images.shape[1:3]
+        self.precrop_iters = int(precrop_iters)
+        self.precrop_frac = float(precrop_frac)
+        self._step = 0
 
         if mode == "pool":
             rays = [np.stack(get_rays_np(self.H, self.W, self.K,
@@ -54,9 +65,20 @@ class RayBatcher:
         target = self.images[img_i]
         rays_o, rays_d = get_rays_np(self.H, self.W, self.K,
                                      self.poses[img_i, :3, :4])
-        sel = self.rng.choice(self.H * self.W, size=self.n_rand,
-                              replace=False)
-        ys, xs = sel // self.W, sel % self.W
+        if self._step < self.precrop_iters:
+            # center-crop warmup (run_nerf.py:715-725): valid rows are
+            # H//2-dH .. H//2+dH-1, ditto for columns
+            dH = int(self.H // 2 * self.precrop_frac)
+            dW = int(self.W // 2 * self.precrop_frac)
+            n = min(self.n_rand, 4 * dH * dW)
+            sel = self.rng.choice(2 * dH * 2 * dW, size=n, replace=False)
+            ys = self.H // 2 - dH + sel // (2 * dW)
+            xs = self.W // 2 - dW + sel % (2 * dW)
+        else:
+            sel = self.rng.choice(self.H * self.W, size=self.n_rand,
+                                  replace=False)
+            ys, xs = sel // self.W, sel % self.W
+        self._step += 1
         return (rays_o[ys, xs].astype(np.float32),
                 rays_d[ys, xs].astype(np.float32),
                 target[ys, xs].astype(np.float32))

@@ -28,8 +28,15 @@ class NeRFModelExecuter(ModelExecute):
     def __init__(self, scene, render_config: renderer.RenderConfig, *,
                  learning_rate=1e-4, epochs=2, learning_rate_decay=0.1,
                  n_iters=50000, i_save=10000, n_rand=1024, seed=451,
-                 mesh=None, verbose=True, resume=False):
+                 mesh=None, verbose=True, resume=False, render_factor=0,
+                 precrop_iters=0, precrop_frac=0.5):
         self.resume = resume
+        # render_factor: downsample spiral/preview renders by this divisor
+        # (reference: run_nerf.py:161-172); 0 = full resolution. Testset
+        # renders stay full-res so PSNRs remain comparable.
+        self.render_factor = int(render_factor)
+        self.precrop_iters = int(precrop_iters)
+        self.precrop_frac = float(precrop_frac)
         self.scene = scene
         self.rc = render_config
         self.learning_rate = learning_rate
@@ -50,7 +57,9 @@ class NeRFModelExecuter(ModelExecute):
         base = RayBatcher(scene["images"], scene["poses"], scene["K"],
                           scene["i_train"], self.n_rand,
                           mode=scene.get("batching_mode", "image"),
-                          seed=self.seed)
+                          seed=self.seed,
+                          precrop_iters=self.precrop_iters,
+                          precrop_frac=self.precrop_frac)
         if not scene.get("ndc", False):
             return base
 
@@ -80,11 +89,21 @@ class NeRFModelExecuter(ModelExecute):
         return params_c, params_f, ls_c, ls_f
 
     def _render_poses(self, params_c, params_f, ls_c, ls_f, poses,
-                      savedir=None, names=None):
+                      savedir=None, names=None, render_factor=0):
         """Render an array of camera poses, through the occupancy fast mode
         when enabled (one grid per call, amortized across all poses; NDC
-        scenes use the NDC-cube grid with pre-warp viewdirs)."""
+        scenes use the NDC-cube grid with pre-warp viewdirs).
+
+        render_factor > 0 renders at (H//rf, W//rf) with focal/rf — the
+        reference's fast-preview divisor (run_nerf.py:161-172)."""
         scene = self.scene
+        H, W = scene["H"], scene["W"]
+        K = np.asarray(scene["K"], np.float32)
+        if render_factor:
+            rf = int(render_factor)
+            H, W = H // rf, W // rf
+            K = K.copy()
+            K[0, 0] /= rf; K[1, 1] /= rf; K[0, 2] /= rf; K[1, 2] /= rf
         rgbs = []
         grid = None
         is_ndc = bool(scene.get("ndc", False))
@@ -104,14 +123,12 @@ class NeRFModelExecuter(ModelExecute):
                     ls_f if params_f is not None else ls_c, self.rc.mlp,
                     lo=tuple(aabb[0]), hi=tuple(aabb[1]))
         for i, pose in enumerate(np.asarray(poses)):
-            ro, rd = get_rays_np(scene["H"], scene["W"], scene["K"],
-                                 pose[:3, :4])
+            ro, rd = get_rays_np(H, W, K, pose[:3, :4])
             vd = None
             near, far = scene["near"], scene["far"]
             if is_ndc:
                 vd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
-                ro_j, rd_j = ndc_rays(scene["H"], scene["W"],
-                                      float(scene["K"][0][0]), 1.0,
+                ro_j, rd_j = ndc_rays(H, W, float(K[0][0]), 1.0,
                                       jnp.asarray(ro), jnp.asarray(rd))
                 ro, rd = np.asarray(ro_j), np.asarray(rd_j)
                 near, far = 0.0, 1.0
@@ -217,7 +234,8 @@ class NeRFModelExecuter(ModelExecute):
             rposes = scene.get("render_poses")
             if rposes is not None and len(rposes):
                 spiral_frames = self._render_poses(
-                    params_c, params_f, cur_ls_c, cur_ls_f, rposes)
+                    params_c, params_f, cur_ls_c, cur_ls_f, rposes,
+                    render_factor=self.render_factor)
             def write_video(name, frames):
                 import imageio.v2 as imageio
                 try:

@@ -134,6 +134,41 @@ def apply_mlp(params: Params, pts_emb: jnp.ndarray,
 # ---------------------------------------------------------------------------
 # torch state-dict layout conversion
 # ---------------------------------------------------------------------------
+def config_from_state_dict(state_dict: Dict[str, np.ndarray],
+                           prefix: str = "model.") -> NeRFConfig:
+    """Infer the MLP architecture from a flat torch-layout state dict.
+
+    The reference only ever instantiates the fixed 8x256 NeRF
+    (utils.py:18-80); inferring D/W/skips/viewdirs here lets the codec
+    accept any checkpoint size without an explicit mlp_config.
+    """
+    pts = sorted(int(k[len(prefix) + 12:-7]) for k in state_dict
+                 if k.startswith(prefix + "pts_linears.")
+                 and k.endswith(".weight"))
+    if not pts:
+        raise KeyError(f"no '{prefix}pts_linears.*.weight' keys")
+    D = max(pts) + 1
+    w0 = np.asarray(state_dict[prefix + "pts_linears.0.weight"])
+    W, input_ch = w0.shape  # torch layout (out, in)
+    skips = tuple(
+        i for i in range(D - 1)
+        if np.asarray(
+            state_dict[prefix + f"pts_linears.{i + 1}.weight"]).shape[1]
+        == W + input_ch)
+    use_viewdirs = (prefix + "alpha_linear.weight") in state_dict
+    input_ch_views = 0
+    output_ch = 4
+    if use_viewdirs:
+        input_ch_views = int(np.asarray(
+            state_dict[prefix + "views_linears.0.weight"]).shape[1]) - W
+    else:
+        output_ch = int(np.asarray(
+            state_dict[prefix + "output_linear.weight"]).shape[0])
+    return NeRFConfig(D=D, W=int(W), input_ch=int(input_ch),
+                      input_ch_views=input_ch_views, output_ch=output_ch,
+                      skips=skips, use_viewdirs=use_viewdirs)
+
+
 def params_from_state_dict(state_dict: Dict[str, np.ndarray], prefix: str,
                            config: NeRFConfig):
     """Build (params, ls) from a flat numpy state dict with torch layout.

@@ -151,12 +151,14 @@ def load_scene_from_config(config_path: str, data_dir: str = None):
 
 
 def make_render_config(scene, mlp_config=None, chunk=1024 * 32,
-                       use_fused_mlp=False, n_samples=64):
+                       use_fused_mlp=False, n_samples=64,
+                       n_importance=None):
     mlp_config = mlp_config or nerf.NeRFConfig()
     return renderer.RenderConfig(
         mlp=mlp_config,
         n_samples=n_samples,
-        n_importance=int(scene.get("n_importance", 128)),
+        n_importance=int(scene.get("n_importance", 128)
+                         if n_importance is None else n_importance),
         perturb=True,
         white_bkgd=bool(scene.get("white_bkgd", False)),
         raw_noise_std=float(scene.get("raw_noise_std", 0.0)),
@@ -176,14 +178,20 @@ def create_nerf_model_executer(dataset_type="blender", dataset_path=None,
                                scene=None, *, learning_rate=1e-4, epochs=2,
                                learning_rate_decay=0.1, n_iters=50000,
                                i_save=10000, mlp_config=None, mesh=None,
-                               use_fused_mlp=False, verbose=True):
+                               use_fused_mlp=False, verbose=True,
+                               render_factor=0, precrop_iters=0,
+                               precrop_frac=0.5, n_rand=1024, n_samples=64,
+                               n_importance=None):
     """Build the NeRF executer for LSA/FT (the codec's model_executer).
     (reference: framework/pytorch_model/__init__.py:924-959)"""
     from ..framework.executer import NeRFModelExecuter
     if scene is None:
         scene = load_scene(dataset_type, dataset_path)
-    rc = make_render_config(scene, mlp_config, use_fused_mlp=use_fused_mlp)
+    rc = make_render_config(scene, mlp_config, use_fused_mlp=use_fused_mlp,
+                            n_samples=n_samples, n_importance=n_importance)
     return NeRFModelExecuter(
         scene, rc, learning_rate=learning_rate, epochs=epochs,
         learning_rate_decay=learning_rate_decay, n_iters=n_iters,
-        i_save=i_save, mesh=mesh, verbose=verbose)
+        i_save=i_save, mesh=mesh, verbose=verbose, n_rand=n_rand,
+        render_factor=render_factor, precrop_iters=precrop_iters,
+        precrop_frac=precrop_frac)

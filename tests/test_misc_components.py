@@ -117,3 +117,60 @@ def test_throughput_meter():
     t = Throughput()
     t.add(100)
     assert t.rate() > 0
+
+
+def test_raybatcher_precrop_center_sampling():
+    """precrop_iters batches sample only the center crop, then full frame
+    (reference: run_nerf.py:466,715-725)."""
+    from nnc_tpu.data.rays import RayBatcher
+    rng = np.random.default_rng(0)
+    H = W = 16
+    images = rng.random((2, H, W, 3)).astype(np.float32)
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    K = np.array([[8.0, 0, 8], [0, 8.0, 8], [0, 0, 1]], np.float32)
+    b = RayBatcher(images, poses, K, [0, 1], n_rand=64, seed=1,
+                   precrop_iters=2, precrop_frac=0.5)
+    # reconstruct sampled pixel coords by matching targets
+    def coords_of(target, img_i=None):
+        ys, xs = [], []
+        for t in target:
+            hit = np.argwhere(np.all(np.isclose(images, t), axis=-1))
+            assert len(hit) >= 1
+            ys.append(hit[0][1]); xs.append(hit[0][2])
+        return np.array(ys), np.array(xs)
+
+    dH = dW = int(H // 2 * 0.5)  # 4 -> crop rows/cols 4..11
+    for _ in range(2):  # precrop batches
+        _, _, target = b.next_batch()
+        assert target.shape == (4 * dH * dW, 3)  # crop has 64 pixels
+        ys, xs = coords_of(target)
+        assert ys.min() >= H // 2 - dH and ys.max() <= H // 2 + dH - 1
+        assert xs.min() >= W // 2 - dW and xs.max() <= W // 2 + dW - 1
+    # post-precrop batch covers the full frame eventually
+    seen_outside = False
+    for _ in range(8):
+        _, _, target = b.next_batch()
+        ys, xs = coords_of(target)
+        if ys.min() < H // 2 - dH or ys.max() > H // 2 + dH - 1:
+            seen_outside = True
+    assert seen_outside
+
+
+def test_render_factor_downsamples_preview():
+    """render_factor=2 previews at (H//2, W//2) (ref run_nerf.py:161-172)."""
+    from nnc_tpu.data import synthetic
+    from nnc_tpu.framework.executer import NeRFModelExecuter
+    from nnc_tpu.models import nerf
+    from nnc_tpu.render import renderer
+    mlp = nerf.NeRFConfig(W=16)
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=4, n_importance=2,
+                               chunk=256, perturb=False)
+    scene, (tc, tf_) = synthetic.make_scene(n_images=2, H=8, W=8, mlp=mlp,
+                                            rc=rc, seed=0)
+    ex = NeRFModelExecuter(scene, rc, n_iters=1, i_save=0, n_rand=16,
+                           render_factor=2, verbose=False)
+    rgbs = ex._render_poses(tc, tf_, None, None, scene["poses"][:1],
+                            render_factor=2)
+    assert rgbs.shape == (1, 4, 4, 3)
+    full = ex._render_poses(tc, tf_, None, None, scene["poses"][:1])
+    assert full.shape == (1, 8, 8, 3)
