@@ -279,26 +279,35 @@ def bench_codec():
             len(bs) / raw_bytes)
 
 
-def _probe_device(timeout_s: float = 180.0):
+def _probe_device(timeout_s: float = 180.0, attempts: int = 3,
+                  retry_wait_s: float = 120.0):
     """Fail fast (with a recordable JSON error) when the TPU backend is
     unreachable. jax's device init hangs in C when the axon tunnel is down
     — a Python-side alarm cannot interrupt it — so the probe runs in a
-    subprocess that can be killed on timeout."""
+    subprocess that can be killed on timeout. Outages are sometimes brief
+    backend restarts, so retry a few times before giving up (the round-3
+    record was lost to a single-shot probe at exactly the wrong moment)."""
     import subprocess
     import sys
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; jnp.ones(8).sum().item()"],
-            timeout=timeout_s, check=True, capture_output=True)
-    except subprocess.TimeoutExpired:
-        raise RuntimeError(
-            f"device backend unreachable (init probe exceeded "
-            f"{timeout_s:.0f}s — TPU tunnel down?)")
-    except subprocess.CalledProcessError as e:
-        raise RuntimeError(
-            "device backend probe failed: "
-            + e.stderr.decode(errors="replace")[-200:])
+    last = None
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(retry_wait_s)
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jnp.ones(8).sum().item()"],
+                timeout=timeout_s, check=True, capture_output=True)
+            return
+        except subprocess.TimeoutExpired:
+            last = RuntimeError(
+                f"device backend unreachable (init probe exceeded "
+                f"{timeout_s:.0f}s x{attempts} — TPU tunnel down?)")
+        except subprocess.CalledProcessError as e:
+            last = RuntimeError(
+                "device backend probe failed: "
+                + e.stderr.decode(errors="replace")[-200:])
+    raise last
 
 
 def main():

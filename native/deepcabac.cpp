@@ -236,13 +236,24 @@ static inline double recon_dq(int32_t level, int state, double delta) {
 // Tensor bin syntax contexts
 // ----------------------------------------------------------------------------
 struct TensorCtxs {
-  std::vector<Ctx> sig;   // dq: 8 (per state); no-dq: 2 (prev sig)
+  // fixed in-struct context storage: the bin-decode loop is a serial
+  // dependency chain, so removing the per-access heap indirection of the
+  // former std::vector<Ctx> members is a measurable win. gt contexts
+  // beyond kMaxUnary (unary lengths no real stream uses) spill to a heap
+  // vector so arbitrary cabac_unary_length_minus1 still decodes.
+  static constexpr int kMaxUnary = 64;
+  Ctx sig[10];            // dq: 8 (per state); no-dq: 2 (prev sig)
   Ctx sign;
-  std::vector<Ctx> gt;    // abs_level_greater_j, j = 1..K
+  Ctx gt[kMaxUnary];      // abs_level_greater_j, j = 1..K
+  std::vector<Ctx> gt_spill;
   // adaptive Rice order state for remainders
   uint64_t rem_sum = 0;
   uint64_t rem_cnt = 0;
   int a_shift = 4, b_shift = 7;  // adaptation-rate profile
+
+  inline Ctx& gtc(int j) {
+    return j < kMaxUnary ? gt[j] : gt_spill[(size_t)(j - kMaxUnary)];
+  }
 
   void set_profile(int p) {
     a_shift = kCtxProfiles[p & 3][0];
@@ -250,11 +261,12 @@ struct TensorCtxs {
   }
 
   void init(int unary_len) {
-    sig.assign(10, Ctx());
     for (auto& c : sig) c.init();
     sign.init();
-    gt.assign((size_t)std::max(1, unary_len), Ctx());
     for (auto& c : gt) c.init();
+    const int n = std::max(1, unary_len);
+    gt_spill.assign(n > kMaxUnary ? (size_t)(n - kMaxUnary) : 0, Ctx());
+    for (auto& c : gt_spill) c.init();
     rem_sum = 0;
     rem_cnt = 0;
     a_shift = 4;
@@ -310,7 +322,7 @@ static inline void encode_value(RangeEncoder& rc, TensorCtxs& cx, int32_t q,
   int j = 0;
   for (; j < K; ++j) {
     const int more = m1 > (uint32_t)j;
-    rc.encode_bin(cx.gt[j], more, as, bs);
+    rc.encode_bin(cx.gtc(j), more, as, bs);
     if (!more) break;
   }
   if (j == K) {
@@ -329,7 +341,7 @@ static inline int32_t decode_value(RangeDecoder& rc, TensorCtxs& cx,
   const int K = unary_len;
   int j = 0;
   for (; j < K; ++j) {
-    if (rc.decode_bin(cx.gt[j], as, bs))
+    if (rc.decode_bin(cx.gtc(j), as, bs))
       m1 = (uint32_t)j + 1;
     else
       break;

@@ -38,6 +38,13 @@ from .mlp_pallas import _mlp_body_pts, _pack_weights
 # must stay multiples of 16 sublanes (4-row ref slices miscompile on Mosaic),
 # so R_TILE is a multiple of 32.
 R_TILE = 32
+
+# A/B override for the in-kernel pts/dirs construction gate (None = default:
+# on for 128-multiple ray tiles only). Sub-128 tiles support a padded
+# in-kernel layout that is gated off pending a TPU measurement (see the
+# inkernel_pts comment in fused_render_pass); tools/tpu_experiments_r4.py
+# sets this to True to A/B the exact path without editing the gate.
+FORCE_INKERNEL_PTS = None
 S_BLK = 32
 
 _W_ORDER = ["w0", "w1", "w2", "w3", "w4", "w5a", "w5b", "w6", "w7",
@@ -352,7 +359,8 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     # the in-kernel FMA rounds pts slightly differently (1e-5-level map
     # jitter vs the XLA producer), so flipping exact-path numerics needs a
     # perf justification.
-    inkernel_pts = (r_t % 128 == 0)
+    inkernel_pts = (r_t % 128 == 0) if FORCE_INKERNEL_PTS is None \
+        else bool(FORCE_INKERNEL_PTS)
     if inkernel_pts:
         ptsdir = jnp.stack([z_q, dists_q]).reshape(2, n_sample)
         r9t = jnp.concatenate([rays_o, rays_d, viewdirs], axis=1)

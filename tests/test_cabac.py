@@ -270,3 +270,19 @@ def test_set_entry_points_full_decode_matches_sequential():
     np.testing.assert_array_equal(out1, v)
     np.testing.assert_array_equal(out2, v)
     assert consumed1 == consumed2 == len(payload)
+
+
+def test_roundtrip_large_unary_length_spill():
+    """cabac_unary_length_minus1 > 63 exercises the gt-context spill path
+    (fixed 64-entry array + heap overflow storage)."""
+    import numpy as np
+    from nnc_tpu import compression
+    rng = np.random.default_rng(5)
+    d = {"w.weight": rng.normal(0, 2.0, (32, 32)).astype(np.float32)}
+    bs = compression.compress(d, bitstream_path=None, qp=-30,
+                              cabac_unary_length_minus1=90,
+                              return_bitstream=True, verbose=False)
+    rec = compression.decompress(bs, verbose=False)
+    from nnc_tpu.core.common import get_stepsize_from_qp
+    step = get_stepsize_from_qp(-30, 2)
+    assert np.abs(rec["w.weight"] - d["w.weight"]).max() <= step + 1e-7

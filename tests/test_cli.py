@@ -108,3 +108,43 @@ def test_compress_nerf_cli_lsa_path(tmp_path):
     diffs = [float(np.abs(np.asarray(wrapper[k]) - plain[k]).max())
              for k in plain if k.endswith(".weight")]
     assert max(diffs) > 0.0  # the LSA scales actually changed the decode
+
+
+def test_compress_nerf_cli_config_path(tmp_path):
+    """--config plumbs a configs/*.txt scene through the CLI (the reference
+    ships these files but never parses them; ours are first-class)."""
+    from test_data_loaders import make_blender_tree
+    data_dir = tmp_path / "blender"
+    data_dir.mkdir()
+    make_blender_tree(str(data_dir), n=2, size=16)
+    cfg = tmp_path / "scene.txt"
+    cfg.write_text("dataset_type = blender\nhalf_res = False\n"
+                   "testskip = 1\nN_importance = 2\n")
+
+    mlp = nerf.NeRFConfig(W=16)
+    key = jax.random.PRNGKey(2)
+    sd = {}
+    sd.update(nerf.params_to_state_dict(nerf.init_params(key, mlp), "model."))
+    sd.update(nerf.params_to_state_dict(
+        nerf.init_params(jax.random.fold_in(key, 1), mlp), "model_fine."))
+    tar = str(tmp_path / "tiny_000002.tar")
+    cku.wrapper_dict_to_nerf_tar(sd, tar, global_step=2)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=os.environ.get(
+                   "NNC_TPU_JAX_CACHE",
+                   os.path.expanduser("~/.cache/nnc_tpu_jax")),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+               JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES="-1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "compress_nerf.py"),
+         "--ckpt_path", tar, "--ckpt_nickname", "tiny",
+         "--base_path_to_save", str(tmp_path / "runs"),
+         "--dataset_path", str(data_dir), "--config", str(cfg),
+         "--qp", "-20", "--lsa", "true", "--epochs", "1",
+         "--learning_rate", "0.05",
+         "--N_iters", "2", "--i_save", "0", "--use_fused_mlp", "false",
+         "--N_rand", "32", "--n_samples", "4", "--n_importance", "2"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=500)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "Epoch done. mean PSNR" in out.stdout

@@ -91,11 +91,13 @@ except Exception:
 
 # ---------------- Part 2: exact-path tile A/B ----------------
 try:
-    part("exact path fusion_ray_tile 64 vs 128 (40960-ray chunk)")
+    part("exact path fusion_ray_tile 64 vs 128, +forced sub-128 in-kernel pts (40960-ray chunk)")
     CH = 40960
     roc = jnp.asarray(ro_hw.reshape(-1,3)[:CH]); rdc = jnp.asarray(rd_hw.reshape(-1,3)[:CH])
     key = jax.random.PRNGKey(0)
-    for rt in (64, 128):
+    from nnc_tpu.ops import render_pallas
+    for rt, force in ((64, None), (64, True), (128, None)):
+        render_pallas.FORCE_INKERNEL_PTS = force
         rc = renderer.RenderConfig(
             mlp=mlp, n_samples=64, n_importance=128, white_bkgd=True,
             chunk=CH, use_fused_mlp=True, use_fused_compositing=True,
@@ -107,7 +109,8 @@ try:
         for _ in range(N): out = run()
         s = float(np.asarray(jnp.sum(out["rgb_map"])))
         dt=(time.perf_counter()-t0)/N
-        print(f"r_t={rt:4d}: {dt*1e3:7.2f} ms/chunk  ({CH/dt/1e3:.0f}K rays/s)  rgbsum={s:.2f}", flush=True)
+        print(f"r_t={rt:4d} force_ik={force}: {dt*1e3:7.2f} ms/chunk  ({CH/dt/1e3:.0f}K rays/s)  rgbsum={s:.2f}", flush=True)
+    render_pallas.FORCE_INKERNEL_PTS = None
 except Exception:
     traceback.print_exc()
 
