@@ -268,3 +268,24 @@ def test_renderer_int8_dispatch():
                              key, rc_int8, deterministic=True)
     d = np.abs(np.asarray(a["rgb_map"]) - np.asarray(b["rgb_map"]))
     assert d.max() < 0.1, d.max()
+
+
+def test_fused_render_pass_forced_sub128_inkernel_pts():
+    """FORCE_INKERNEL_PTS=True drives the padded in-kernel pts layout at a
+    sub-128 ray tile (the gated A/B arm, tools/tpu_experiments_r4.py Part
+    2): each 64-ray tile pads to 128 lanes and must match the XLA
+    reference within the in-kernel FMA's rounding."""
+    from nnc_tpu.ops import render_pallas
+    from nnc_tpu.ops.render_pallas import fused_render_pass
+
+    mlp, params, ro, rd, vd, z = _render_fixture(96, 16)
+    render_pallas.FORCE_INKERNEL_PTS = True
+    try:
+        out = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                                early_term_eps=0.0, r_t=64, s_blk=8)
+    finally:
+        render_pallas.FORCE_INKERNEL_PTS = None
+    ref = _reference_pass(params, ro, rd, vd, z, mlp)
+    for k in ("rgb_map", "acc_map", "weights"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=2e-5, rtol=1e-5)

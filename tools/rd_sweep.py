@@ -46,7 +46,7 @@ def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,
     psnr = ex.test_model(rec)
     nbytes = os.path.getsize(bs_path)
     return {"qp": qp, "lsa": lsa, "bytes": nbytes, "psnr": psnr,
-            "run_dir": run_dir}
+            "lsa_iters": n_iters, "epochs": epochs, "run_dir": run_dir}
 
 
 def plot_rd(results, out_path):
