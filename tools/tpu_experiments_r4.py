@@ -110,9 +110,14 @@ try:
         s = float(np.asarray(jnp.sum(out["rgb_map"])))
         dt=(time.perf_counter()-t0)/N
         print(f"r_t={rt:4d} force_ik={force}: {dt*1e3:7.2f} ms/chunk  ({CH/dt/1e3:.0f}K rays/s)  rgbsum={s:.2f}", flush=True)
-    render_pallas.FORCE_INKERNEL_PTS = None
 except Exception:
     traceback.print_exc()
+finally:
+    try:
+        from nnc_tpu.ops import render_pallas
+        render_pallas.FORCE_INKERNEL_PTS = None
+    except Exception:
+        pass
 
 # ---------------- Part 3: current fast frame (sanity) ----------------
 try:
