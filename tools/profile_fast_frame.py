@@ -14,6 +14,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+from nnc_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()
 
 
 def main():

@@ -20,6 +20,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from nnc_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()
 
 
 def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,

@@ -13,6 +13,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+from nnc_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()
 
 import numpy as np
 

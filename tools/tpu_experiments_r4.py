@@ -3,6 +3,8 @@ exact-path tile A/B. Run each part guarded so one failure doesn't kill all."""
 import time, sys, traceback
 import numpy as np
 sys.path.insert(0, "/root/repo")
+from nnc_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()
 import jax, jax.numpy as jnp
 from nnc_tpu.data.synthetic import look_at_poses, make_solid_mlp
 from nnc_tpu.models import nerf

@@ -12,6 +12,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from nnc_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()
 
 
 def main():
