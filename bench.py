@@ -310,8 +310,38 @@ def _probe_device(timeout_s: float = 180.0, attempts: int = 3,
     raise last
 
 
+def _codec_only_record(probe_err: Exception):
+    """Degraded record when the TPU backend is unreachable at driver time:
+    the codec path is pure host code, so its numbers are still real. The
+    round-3 record (BENCH_r03.json) was a bare error line because the axon
+    tunnel was down for 7+ hours across the driver run; this keeps the
+    host-side metrics recorded (and rc stays non-zero so the degradation
+    is unmistakable)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")  # init_params runs on host
+    enc_mbps, dec_mbps, ratio = bench_codec()
+    print(json.dumps({
+        "metric": "render_rays_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "rays/s",
+        "vs_baseline": 0.0,
+        "error": f"{type(probe_err).__name__}: {probe_err}"[:300],
+        "degraded": "codec-only (host CPU); TPU backend unreachable",
+        "extra_metrics": {
+            "codec_encode_MBps": round(enc_mbps, 2),
+            "codec_decode_MBps": round(dec_mbps, 2),
+            "compression_ratio_qp20": round(ratio, 4),
+        },
+    }))
+
+
 def main():
-    _probe_device()
+    try:
+        _probe_device()
+    except RuntimeError as exc:
+        _codec_only_record(exc)
+        exc.already_recorded = True
+        raise
     import jax
     import jax.numpy as jnp
 
@@ -361,7 +391,9 @@ def main():
 if __name__ == "__main__":
     try:
         main()
-    except Exception as exc:  # always emit a recordable line
+    except Exception as exc:  # always emit (exactly one) recordable line
+        if getattr(exc, "already_recorded", False):
+            raise
         print(json.dumps({
             "metric": "render_rays_per_sec_per_chip",
             "value": 0.0,

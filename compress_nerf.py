@@ -14,13 +14,8 @@ import os
 # the plugin registration otherwise wins over the env var, which both
 # ignores the user's explicit choice and hangs at init when the requested-
 # away backend's tunnel is down
-if os.environ.get("JAX_PLATFORMS"):
-    import jax
-
-    try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass
+from nnc_tpu.utils.platform import honor_jax_platforms_env
+honor_jax_platforms_env()
 
 import nnc_tpu
 from nnc_tpu.utils import ckpt as utils
