@@ -24,12 +24,41 @@ _lock = threading.Lock()
 _lib = None
 
 
+def _host_key() -> str:
+    """CPU identity the -march=native build is valid for. The repo
+    directory persists across sessions that may land on different hosts;
+    reusing a stale-arch .so measured ~20% slower (and could SIGILL)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    import platform
+
+    return platform.processor() or platform.machine()
+
+
 def _build_library() -> None:
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
         "-pthread", _SRC, "-o", _LIB,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(_LIB + ".hostkey", "w") as f:
+        f.write(_host_key())
+
+
+def _lib_is_fresh() -> bool:
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        return False
+    try:
+        with open(_LIB + ".hostkey") as f:
+            return f.read() == _host_key()
+    except OSError:
+        return False
 
 
 def _load():
@@ -37,8 +66,7 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        if not _lib_is_fresh():
             _build_library()
         lib = ctypes.CDLL(_LIB)
 
