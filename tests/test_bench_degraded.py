@@ -36,6 +36,98 @@ def test_codec_only_record_on_probe_failure(monkeypatch, capsys):
     assert 0 < em["compression_ratio_qp20"] < 1
 
 
+def test_pause_contenders_stops_and_resumes(tmp_path, monkeypatch):
+    """bench pauses pids registered in the pause file for the duration of
+    the run (a background CPU-bound sweep on the 1-core host halves codec
+    MB/s), resumes them after, and never touches its own ancestors or dead
+    pids."""
+    import os
+    import subprocess
+    import time
+
+    proc = subprocess.Popen([sys.executable, "-c",
+                             "import time; time.sleep(60)"])
+    try:
+        pause_file = tmp_path / "pause.pids"
+        # one live target, one dead pid, one ancestor (our own parent)
+        pause_file.write_text(f"{proc.pid}\n999999\n{os.getppid()}\n")
+        monkeypatch.setattr(bench, "PAUSE_FILE", str(pause_file))
+
+        stopped = bench._pause_contenders()
+        assert stopped == [proc.pid]
+        for _ in range(50):
+            state = open(f"/proc/{proc.pid}/stat").read().split()[2]
+            if state == "T":
+                break
+            time.sleep(0.02)
+        assert state == "T"
+        bench._resume_contenders(stopped)
+        for _ in range(50):
+            state = open(f"/proc/{proc.pid}/stat").read().split()[2]
+            if state != "T":
+                break
+            time.sleep(0.02)
+        assert state != "T"
+    finally:
+        proc.kill()
+        proc.wait()
+
+
+def test_sigterm_resumes_paused_contenders(tmp_path):
+    """A SIGTERM (the driver's `timeout`) must not leave contenders
+    SIGSTOPped: bench's __main__ converts it to SystemExit so the
+    finally-resume runs. Observed live: a timeout-killed bench left the
+    background RD sweep frozen."""
+    import os
+    import signal
+    import subprocess
+    import time
+
+    sleeper = subprocess.Popen([sys.executable, "-c",
+                                "import time; time.sleep(120)"])
+    try:
+        pause_file = tmp_path / "pause.pids"
+        pause_file.write_text(f"{sleeper.pid}\n")
+        # replicate bench's __main__ guard with a main() that hangs
+        prog = (
+            "import signal, sys, time\n"
+            "sys.path.insert(0, %r)\n"
+            "import bench\n"
+            "bench.PAUSE_FILE = %r\n"
+            "signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))\n"
+            "paused = bench._pause_contenders()\n"
+            "try:\n"
+            "    print('paused', flush=True)\n"
+            "    time.sleep(120)\n"
+            "finally:\n"
+            "    bench._resume_contenders(paused)\n"
+        ) % (__file__.rsplit("/", 2)[0], str(pause_file))
+        p = subprocess.Popen([sys.executable, "-c", prog],
+                             stdout=subprocess.PIPE, text=True)
+        assert p.stdout.readline().strip() == "paused"
+        # the sleeper must now be stopped
+        for _ in range(100):
+            if open(f"/proc/{sleeper.pid}/stat").read().split()[2] == "T":
+                break
+            time.sleep(0.02)
+        assert open(f"/proc/{sleeper.pid}/stat").read().split()[2] == "T"
+        p.send_signal(signal.SIGTERM)
+        assert p.wait(timeout=10) == 143
+        for _ in range(100):
+            if open(f"/proc/{sleeper.pid}/stat").read().split()[2] != "T":
+                break
+            time.sleep(0.02)
+        assert open(f"/proc/{sleeper.pid}/stat").read().split()[2] != "T"
+    finally:
+        sleeper.kill()
+        sleeper.wait()
+
+
+def test_pause_contenders_missing_file(monkeypatch):
+    monkeypatch.setattr(bench, "PAUSE_FILE", "/nonexistent/pause.pids")
+    assert bench._pause_contenders() == []
+
+
 def test_main_guard_does_not_double_print(monkeypatch, capsys):
     """__main__'s catch-all must not re-print a line the degraded path
     already recorded."""
