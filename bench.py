@@ -345,10 +345,14 @@ def _pause_contenders(stopped=None):
     every timing loop — measured: 49.8 vs 31.7 MB/s encode with/without a
     concurrent jax-init spin. Long-running helpers register their pid in
     the file; the bench pauses them and SIGCONTs them in a finally.
-    Ancestors of this process are never paused (a stopped parent shell
-    would never reap us). Stopped pids are appended to `stopped` in place
-    (so a SIGTERM arriving mid-pause still leaves them visible to the
-    caller's finally) and the list is also returned."""
+    Registered pids are expanded to their live descendants (SIGSTOP does
+    not propagate: stopping a `bash wrapper.sh` leaves its CPU-burning
+    python child running — observed live). Parents are stopped before
+    their children so nothing new is spawned mid-pause. Ancestors of this
+    process are never paused (a stopped parent shell would never reap
+    us). Stopped pids are appended to `stopped` in place (so a SIGTERM
+    arriving mid-pause still leaves them visible to the caller's finally)
+    and the list is also returned."""
     import os
     import signal
     if stopped is None:
@@ -368,9 +372,35 @@ def _pause_contenders(stopped=None):
         except (OSError, StopIteration, ValueError, IndexError):
             break
         ancestors.add(p)
-    for pid in pids:
-        if pid == os.getpid() or pid in ancestors:
+    # self/ancestors are dropped BEFORE descendant expansion: expanding an
+    # ancestor would sweep in our own siblings (e.g. the `tail` of the
+    # pipeline that launched us)
+    roots = [pid for pid in pids
+             if pid != os.getpid() and pid not in ancestors]
+    # expand to descendants via /proc ppid scan (BFS, parents first)
+    children = {}
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit():
             continue
+        try:
+            with open(f"/proc/{entry}/stat") as f:
+                # field 4 is ppid; field 2 (comm) may contain spaces but
+                # is parenthesised — split after the closing paren
+                ppid = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        children.setdefault(ppid, []).append(int(entry))
+    seen = set()
+    frontier = list(roots)
+    expanded = []
+    while frontier:
+        pid = frontier.pop(0)
+        if pid in seen:
+            continue
+        seen.add(pid)
+        expanded.append(pid)
+        frontier.extend(children.get(pid, []))
+    for pid in expanded:
         try:
             os.kill(pid, signal.SIGSTOP)
             stopped.append(pid)

@@ -42,34 +42,52 @@ def test_pause_contenders_stops_and_resumes(tmp_path, monkeypatch):
     MB/s), resumes them after, and never touches its own ancestors or dead
     pids."""
     import os
+    import signal
     import subprocess
     import time
 
-    proc = subprocess.Popen([sys.executable, "-c",
-                             "import time; time.sleep(60)"])
+    # the registered pid spawns a child: SIGSTOP does not propagate, so
+    # the guard must expand to descendants (a stopped bash wrapper left
+    # its python sweep child burning the core — observed live)
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import subprocess, sys, time\n"
+         "c = subprocess.Popen([sys.executable, '-c',"
+         " 'import time; time.sleep(60)'])\n"
+         "print(c.pid, flush=True)\n"
+         "time.sleep(60)"],
+        stdout=subprocess.PIPE, text=True)
     try:
+        child_pid = int(proc.stdout.readline())
         pause_file = tmp_path / "pause.pids"
         # one live target, one dead pid, one ancestor (our own parent)
         pause_file.write_text(f"{proc.pid}\n999999\n{os.getppid()}\n")
         monkeypatch.setattr(bench, "PAUSE_FILE", str(pause_file))
 
+        def state_of(pid):
+            return open(f"/proc/{pid}/stat").read().rsplit(")", 1)[1].split()[0]
+
         stopped = bench._pause_contenders()
-        assert stopped == [proc.pid]
-        for _ in range(50):
-            state = open(f"/proc/{proc.pid}/stat").read().split()[2]
-            if state == "T":
-                break
-            time.sleep(0.02)
-        assert state == "T"
+        assert stopped == [proc.pid, child_pid]
+        for pid in (proc.pid, child_pid):
+            for _ in range(50):
+                if state_of(pid) == "T":
+                    break
+                time.sleep(0.02)
+            assert state_of(pid) == "T", pid
         bench._resume_contenders(stopped)
-        for _ in range(50):
-            state = open(f"/proc/{proc.pid}/stat").read().split()[2]
-            if state != "T":
-                break
-            time.sleep(0.02)
-        assert state != "T"
+        for pid in (proc.pid, child_pid):
+            for _ in range(50):
+                if state_of(pid) != "T":
+                    break
+                time.sleep(0.02)
+            assert state_of(pid) != "T", pid
     finally:
         proc.kill()
+        try:
+            os.kill(child_pid, signal.SIGKILL)
+        except OSError:
+            pass
         proc.wait()
 
 
