@@ -1158,14 +1158,32 @@ void dc_dequant_layer(float* out, const int32_t* v, int64_t h, int64_t w,
   }
   const int64_t chunks = num_chunks(h, w, scan_order);
   const int64_t bh = chunks > 1 ? block_row_height(scan_order) : h;
+  // the state walk is a serial scan over level parities, but the
+  // reconstruction arithmetic is not — split the two so the math pass
+  // auto-vectorizes (value-identical to recon_dq: same double
+  // expression, exact negation; parity of v equals parity of |v| in
+  // two's complement)
+  std::vector<uint8_t> off((size_t)n);
   for (int64_t c = 0; c < chunks; ++c) {
     const int64_t r0 = c * bh;
     const int64_t r1 = std::min(h, r0 + bh);
     int state = 0;
     for (int64_t i = r0 * w; i < r1 * w; ++i) {
-      out[i] = (float)recon_dq(v[i], state, delta);
-      state = kStateTrans[state][(int)(std::llabs((long long)v[i]) & 1)];
+      // zeroed where v==0 so the math pass yields an exact +0.0 there
+      off[(size_t)i] = (uint8_t)(q_offset(state) & (int)(v[i] != 0));
+      state = kStateTrans[state][(int)((uint32_t)v[i] & 1u)];
     }
+  }
+  const double half_delta = delta * 0.5;
+  for (int64_t i = 0; i < n; ++i) {
+    const double dq_ = (double)v[i];
+    // 2|q|, the power-of-two scaling, and the final negation are exact,
+    // so this matches recon_dq bit for bit (q==0 hits off==0 → +0.0);
+    // fabs/copysign keep the loop branch-free so it vectorizes (the
+    // ternary int64 form did not)
+    const double val = (std::fabs(dq_) * 2.0 - (double)off[(size_t)i])
+                       * half_delta;
+    out[i] = (float)std::copysign(val, dq_);
   }
 }
 

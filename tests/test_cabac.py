@@ -112,6 +112,44 @@ def test_quant_dequant_error_bound(dq_flag):
     assert err.max() <= bound + 1e-7
 
 
+@pytest.mark.parametrize("scan_order", [0, 1])
+def test_dequant_matches_double_precision_mirror(scan_order):
+    """dequantLayer is a vectorized two-pass rewrite (state walk + branch-
+    free math); it must match the scalar double-precision DQ recon
+    ((2|q| - offset(state)) * delta/2, signed) EXACTLY, including +0.0
+    (never -0.0) at zeros and the per-block-row state reset."""
+    trans = np.array([[0, 2], [5, 7], [1, 3], [6, 4],
+                      [2, 0], [7, 5], [3, 1], [4, 6]], dtype=np.int64)
+    rng = np.random.default_rng(7)
+    q = rng.integers(-9, 10, size=(33, 17)).astype(np.int32)
+    q[0, :5] = 0  # leading zeros exercise the offset-zeroing path
+    qp, qpd = -22, 3
+    delta = cabac.stepsize_from_qp(qp, qpd)
+
+    h, w = q.shape
+    bh = (4 << scan_order) if scan_order else h
+    expect = np.zeros(q.shape, dtype=np.float32)
+    flat = q.reshape(-1)
+    exp_flat = expect.reshape(-1)
+    for r0 in range(0, h, bh):
+        state = 0
+        for i in range(r0 * w, min(h, r0 + bh) * w):
+            lvl = int(flat[i])
+            if lvl == 0:
+                exp_flat[i] = 0.0
+            else:
+                m = float(abs(lvl))
+                val = (2.0 * m - float((state >> 1) & 1)) * delta * 0.5
+                exp_flat[i] = np.float32(val if lvl > 0 else -val)
+            state = int(trans[state][abs(lvl) & 1])
+
+    dec = cabac.Decoder()
+    rec = np.zeros(q.shape, dtype=np.float32)
+    dec.dequantLayer(rec, q, qpd, qp, scan_order, 1)
+    assert np.array_equal(rec, expect)
+    assert not np.signbit(rec[q == 0]).any()
+
+
 def test_dq_beats_uniform_distortion():
     """The trellis should (weakly) reduce MSE vs plain rounding at same qp."""
     rng = np.random.default_rng(11)
