@@ -118,6 +118,8 @@ struct RangeEncoder {
     const uint32_t p = ctx.prob();  // 15-bit P(bin==1), clamped below
     uint32_t p1 = p < 128 ? 128 : (p > 32640 ? 32640 : p);
     const uint32_t bound = (range >> 15) * p1;
+    // (a branchless low/range update mirroring the decoder benched
+    // neutral-to-worse here — the encoder's `low` chain is longer)
     if (bin) {
       range = bound;
     } else {
