@@ -174,3 +174,37 @@ def test_render_factor_downsamples_preview():
     assert rgbs.shape == (1, 4, 4, 3)
     full = ex._render_poses(tc, tf_, None, None, scene["poses"][:1])
     assert full.shape == (1, 8, 8, 3)
+
+
+def test_merge_rd_results(tmp_path):
+    """tools/merge_rd.py: budget-keyed merge, later inputs win, pre-r4
+    records normalize to the old 500x1 budget, dirs accepted."""
+    import json
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import merge_rd
+
+    into = tmp_path / "rd_results.json"
+    into.write_text(json.dumps([
+        {"qp": -20, "lsa": True, "bytes": 100, "psnr": 30.0,
+         "run_dir": "r3"},  # legacy record: no budget fields
+    ]))
+    sweep_dir = tmp_path / "sweep"
+    sweep_dir.mkdir()
+    (sweep_dir / "rd_results.json").write_text(json.dumps([
+        {"qp": -20, "lsa": True, "bytes": 104, "psnr": 33.0,
+         "lsa_iters": 3000, "epochs": 2, "run_dir": "r4prod"},
+        {"qp": -20, "lsa": True, "bytes": 101, "psnr": 30.5,
+         "lsa_iters": 500, "epochs": 1, "run_dir": "r4short"},
+    ]))
+    merge_rd.main([str(sweep_dir), "--into", str(into)])
+
+    out = json.loads(into.read_text())
+    assert len(out) == 2  # legacy 500x1 replaced by the newer 500x1
+    short = [r for r in out if r["lsa_iters"] == 500]
+    prod = [r for r in out if r["lsa_iters"] == 3000]
+    assert len(short) == 1 and short[0]["run_dir"] == "r4short"
+    assert len(prod) == 1 and prod[0]["psnr"] == 33.0
+    # sorted: short budget first
+    assert out[0]["lsa_iters"] == 500
