@@ -237,19 +237,10 @@ class NeRFModelExecuter(ModelExecute):
                     params_c, params_f, cur_ls_c, cur_ls_f, rposes,
                     render_factor=self.render_factor)
             def write_video(name, frames):
-                import imageio.v2 as imageio
-                try:
-                    imageio.mimwrite(os.path.join(moviedir, name + ".mp4"),
-                                     to8b(frames), fps=30, quality=8)
-                except Exception:
-                    # ffmpeg may be absent: fall back to GIF so the video
-                    # artifact exists in every environment
-                    try:
-                        imageio.mimwrite(
-                            os.path.join(moviedir, name + ".gif"),
-                            to8b(frames), duration=33, loop=0)
-                    except Exception as e:
-                        print(f"INFO: video writing skipped ({e})")
+                # mp4 when ffmpeg exists, else pure-Python MJPEG .avi
+                from ..utils.video import write_video as wv
+                wv(os.path.join(moviedir, name), to8b(frames),
+                   fps=30, quality=8)
 
             write_video(f"step{step}_rgb", rgbs)
             if spiral_frames is not None:

@@ -262,7 +262,11 @@ def test_i_save_checkpoints_and_renders(tmp_path):
     # testset renders written as PNGs
     t1 = tmp_path / "run" / "testset_step2"
     assert t1.is_dir() and list(t1.glob("*.png"))
-    # testset + spiral render-path videos (reference run_nerf.py:781-794)
+    # testset + spiral render-path videos (reference run_nerf.py:781-794);
+    # mp4 with ffmpeg, pure-Python MJPEG .avi without — a real video
+    # artifact must exist either way
     movies = tmp_path / "run" / "movies"
-    if list(movies.glob("*.mp4")):  # ffmpeg present
-        assert list(movies.glob("step2_spiral_rgb.mp4"))
+    for stem in ("step2_rgb", "step2_spiral_rgb"):
+        paths = list(movies.glob(stem + ".*"))
+        assert paths, f"missing video artifact {stem}"
+        assert paths[0].suffix in (".mp4", ".avi")

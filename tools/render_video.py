@@ -2,7 +2,7 @@
 
 Uses the occupancy-grid fast mode by default (multi-M rays/s on v5e; pass
 --exact for the reference-semantics hierarchical path). Writes PNG frames
-and an mp4 (GIF fallback when ffmpeg is absent).
+and an mp4 (pure-Python MJPEG .avi fallback when ffmpeg is absent).
 
 Usage:
   python tools/render_video.py --ckpt lego_200000.tar --dataset blender \
@@ -131,16 +131,11 @@ def main():
               end="", flush=True)
     print()
 
-    import imageio.v2 as imageio
+    from nnc_tpu.utils.video import write_video
     frames8 = to8b(np.stack(frames))
-    try:
-        imageio.mimwrite(os.path.join(args.out, "spiral.mp4"), frames8,
-                         fps=30, quality=8)
-        print(f"wrote {args.out}/spiral.mp4")
-    except Exception:
-        imageio.mimwrite(os.path.join(args.out, "spiral.gif"), frames8,
-                         duration=33, loop=0)
-        print(f"wrote {args.out}/spiral.gif (no ffmpeg)")
+    path = write_video(os.path.join(args.out, "spiral"), frames8,
+                       fps=30, quality=8)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
