@@ -169,6 +169,47 @@ def test_dq_beats_uniform_distortion():
     assert mses[1] < mses[0]
 
 
+def test_rdoq_lambda_rate_distortion_tradeoff():
+    """lambda_scale > 0 turns the DQ trellis into true RDOQ (lambda =
+    lambda_scale * delta^2, rate from the bin estimator). Encoder-side
+    only, so the stream stays format-compatible. The lambda-optimized
+    path must (a) round-trip exactly, (b) spend fewer bits, and (c)
+    improve the D + lambda*R objective it optimizes (measured with the
+    REAL encoded bytes, not the estimator) vs the distortion-only path.
+    Measured RD on NeRF weights is a rejection (BASELINE.md r4) — the
+    knob stays default-off — but the branch must keep working."""
+    rng = np.random.default_rng(19)
+    x = rng.normal(0, 0.1, size=(128, 64)).astype(np.float32)
+    qp, qpd = -24, 2
+    delta = cabac.stepsize_from_qp(qp, qpd)
+    stats = {}
+    for lam_scale in (0.0, 1.0):
+        enc = cabac.Encoder()
+        enc.initCtxModels(10, 0)
+        q = np.zeros(x.shape, dtype=np.int32)
+        enc.quantLayer(x, q, 1, qpd, qp, lam_scale, 10, 0)
+        enc.encodeLayer(q, 1, 0)
+        payload = enc.finish()
+
+        dec = cabac.Decoder()
+        dec.setStream(payload.tobytes())
+        dec.initCtxModels(10)
+        out = np.zeros(x.shape, dtype=np.int32)
+        dec.decodeLayer(out, 1, 0)
+        assert np.array_equal(out, q)
+        rec = np.zeros(x.shape, dtype=np.float32)
+        dec.dequantLayer(rec, q, qpd, qp, 0, 1)
+        stats[lam_scale] = (float(((rec - x) ** 2).sum()),
+                            payload.size * 8)
+    d0, r0 = stats[0.0]
+    d1, r1 = stats[1.0]
+    assert r1 < r0            # rate biasing must actually save bits
+    assert d1 >= d0           # ... by accepting (weakly) more distortion
+    lam = delta * delta
+    # the optimized objective improves even under the true bit count
+    assert d1 + lam * r1 < d0 + lam * r0
+
+
 def test_qp_clipping_on_overflow():
     x = np.array([[1e9, -1e9], [0.5, 2.0]], dtype=np.float32)
     enc = cabac.Encoder()
