@@ -208,3 +208,9 @@ def test_merge_rd_results(tmp_path):
     assert len(prod) == 1 and prod[0]["psnr"] == 33.0
     # sorted: short budget first
     assert out[0]["lsa_iters"] == 500
+
+    # --plot renders one series per (lsa, budget) without error
+    png = tmp_path / "rd.png"
+    merge_rd.main([str(sweep_dir), "--into", str(into),
+                   "--plot", str(png)])
+    assert png.stat().st_size > 0

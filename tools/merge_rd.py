@@ -53,6 +53,34 @@ def load(path):
     return recs
 
 
+def plot(results, out_path):
+    """One RD curve per (lsa, budget) series; budgets get line styles so
+    the 500-iter regression points and production points read apart."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    budgets = sorted({(r["lsa_iters"], r["epochs"]) for r in results})
+    styles = ["--", "-", "-.", ":"]
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for bi, (it, ep) in enumerate(budgets):
+        for lsa in (False, True):
+            pts = sorted((r["bytes"] / 1024, r["psnr"]) for r in results
+                         if r["lsa"] == lsa and (r["lsa_iters"],
+                                                 r["epochs"]) == (it, ep))
+            if pts:
+                ax.plot(*zip(*pts), marker="o",
+                        linestyle=styles[bi % len(styles)],
+                        color="C1" if lsa else "C0",
+                        label=f"LSA {'on' if lsa else 'off'}, "
+                              f"{it}x{ep} iters")
+    ax.set_xlabel("bitstream size (KiB)")
+    ax.set_ylabel("test PSNR (dB)")
+    ax.grid(True, alpha=0.3)
+    ax.legend(fontsize=8)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    print(f"saved {out_path}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("inputs", nargs="+",
@@ -60,6 +88,8 @@ def main(argv=None):
     ap.add_argument("--into", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "rd_results.json"))
+    ap.add_argument("--plot", default=None, metavar="PNG",
+                    help="also render the merged RD curves to this file")
     args = ap.parse_args(argv)
 
     base = load(args.into) if os.path.exists(args.into) else []
@@ -69,6 +99,8 @@ def main(argv=None):
         f.write("\n")
     print(f"{args.into}: {len(out)} records "
           f"({len(base)} existing + {len(out) - len(base)} new)")
+    if args.plot:
+        plot(out, args.plot)
 
 
 if __name__ == "__main__":
