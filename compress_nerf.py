@@ -61,6 +61,7 @@ def main(args):
         use_fused_mlp=args.use_fused_mlp,
         occupancy_renders=args.occupancy_renders,
         occupancy_tuning=args.occupancy_tuning,
+        ioq=args.ioq,
         num_workers=args.num_workers,
         render_factor=args.render_factor,
         precrop_iters=args.precrop_iters,
@@ -111,6 +112,12 @@ def build_parser():
                         help="LSA tuning integrates grid-selected samples "
                              "instead of the dense hierarchical sweep "
                              "(~3x faster steps, slightly lossy objective).")
+    parser.add_argument("--ioq", type=lambda s: s.lower() in
+                        ("1", "true", "yes"), default=False,
+                        help="Inference-optimized per-tensor QP search "
+                             "(RD win: +7 dB at -21%% bytes vs flat "
+                             "qp=-20 on the synthetic teacher; see "
+                             "BASELINE.md).")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Host threads for parallel NDU encode/decode.")
     parser.add_argument("--render_factor", type=int, default=0,

@@ -28,9 +28,12 @@ def test_compress_nerf_cli_roundtrip(tmp_path):
         [sys.executable, os.path.join(REPO, "compress_nerf.py"),
          "--ckpt_path", tar, "--ckpt_nickname", "tiny",
          "--base_path_to_save", str(tmp_path / "runs"),
-         "--qp", "-38", "--lsa", "false", "--N_iters", "1", "--i_save", "0"],
+         "--qp", "-38", "--lsa", "false", "--N_iters", "1", "--i_save", "0",
+         "--ioq", "true"],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=500)
     assert out.returncode == 0, out.stderr[-2000:]
+    # --ioq plumbs through and capability-gates gracefully with no executer
+    assert "ioq" in out.stdout
 
     # run dir contains bitstream + reconstructed .pt + converted .tar
     runs = list((tmp_path / "runs").iterdir())
