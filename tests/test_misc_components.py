@@ -209,7 +209,21 @@ def test_merge_rd_results(tmp_path):
     # sorted: short budget first
     assert out[0]["lsa_iters"] == 500
 
-    # --plot renders one series per (lsa, budget) without error
+    # an IOQ record at the same (qp, lsa, budget) is its own series key,
+    # not a replacement for the flat-QP record
+    ioq_file = tmp_path / "ioq.json"
+    ioq_file.write_text(json.dumps([
+        {"qp": -20, "lsa": True, "bytes": 90, "psnr": 35.0,
+         "lsa_iters": 3000, "epochs": 2, "mode": "ioq",
+         "run_dir": "r4ioq"},
+    ]))
+    merge_rd.main([str(ioq_file), "--into", str(into)])
+    out = json.loads(into.read_text())
+    prod = [r for r in out if r["lsa_iters"] == 3000]
+    assert {r["mode"] for r in prod} == {"flat", "ioq"}
+    assert len(prod) == 2
+
+    # --plot renders one series per (mode, lsa, budget) without error
     png = tmp_path / "rd.png"
     merge_rd.main([str(sweep_dir), "--into", str(into),
                    "--plot", str(png)])

@@ -24,12 +24,13 @@ def normalize(rec):
     rec = dict(rec)
     rec.setdefault("lsa_iters", 500)
     rec.setdefault("epochs", 1)
+    rec.setdefault("mode", "flat")  # pre-r4b records: flat global QP
     return rec
 
 
 def key_of(rec):
     return (int(rec["qp"]), bool(rec["lsa"]), int(rec["lsa_iters"]),
-            int(rec["epochs"]))
+            int(rec["epochs"]), str(rec["mode"]))
 
 
 def merge(base, inputs):
@@ -38,8 +39,8 @@ def merge(base, inputs):
         for r in map(normalize, recs):
             merged[key_of(r)] = r
     return sorted(merged.values(),
-                  key=lambda r: (r["lsa_iters"] * r["epochs"], r["qp"],
-                                 r["lsa"]))
+                  key=lambda r: (r["lsa_iters"] * r["epochs"], r["mode"],
+                                 r["qp"], r["lsa"]))
 
 
 def load(path):
@@ -54,8 +55,9 @@ def load(path):
 
 
 def plot(results, out_path):
-    """One RD curve per (lsa, budget) series; budgets get line styles so
-    the 500-iter regression points and production points read apart."""
+    """One RD curve per (mode, lsa, budget) series; budgets get line
+    styles so the 500-iter regression points and production points read
+    apart, and the IOQ per-tensor-QP series gets its own color."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -63,16 +65,20 @@ def plot(results, out_path):
     styles = ["--", "-", "-.", ":"]
     fig, ax = plt.subplots(figsize=(7, 5))
     for bi, (it, ep) in enumerate(budgets):
-        for lsa in (False, True):
+        for mode, lsa, color in (("flat", False, "C0"),
+                                 ("flat", True, "C1"),
+                                 ("ioq", False, "C2"),
+                                 ("ioq", True, "C3")):
             pts = sorted((r["bytes"] / 1024, r["psnr"]) for r in results
-                         if r["lsa"] == lsa and (r["lsa_iters"],
-                                                 r["epochs"]) == (it, ep))
+                         if r["lsa"] == lsa and r["mode"] == mode
+                         and (r["lsa_iters"], r["epochs"]) == (it, ep))
             if pts:
+                label = f"LSA {'on' if lsa else 'off'}, {it}x{ep} iters"
+                if mode == "ioq":
+                    label = "IOQ, " + label
                 ax.plot(*zip(*pts), marker="o",
                         linestyle=styles[bi % len(styles)],
-                        color="C1" if lsa else "C0",
-                        label=f"LSA {'on' if lsa else 'off'}, "
-                              f"{it}x{ep} iters")
+                        color=color, label=label)
     ax.set_xlabel("bitstream size (KiB)")
     ax.set_ylabel("test PSNR (dB)")
     ax.grid(True, alpha=0.3)

@@ -25,12 +25,12 @@ honor_jax_platforms_env()
 
 
 def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,
-              epochs, use_fused):
+              epochs, use_fused, ioq=False):
     import nnc_tpu
     from nnc_tpu.train.presets import create_nerf_model_executer, \
         make_render_config
 
-    tag = f"qp{qp}_lsa{int(lsa)}"
+    tag = f"qp{qp}_lsa{int(lsa)}" + ("_ioq" if ioq else "")
     run_dir = os.path.join(out_dir, tag)
     os.makedirs(os.path.join(run_dir, "bitstream"), exist_ok=True)
     bs_path = os.path.join(run_dir, "bitstream", "bitstream.nnc")
@@ -40,15 +40,17 @@ def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,
         i_save=0, use_fused_mlp=use_fused, verbose=False)
 
     nnc_tpu.compress_model(
-        wrapper_dict, bitstream_path=bs_path, qp=qp, lsa=lsa,
-        model_executer=ex if lsa else None, scene=scene, mlp_config=mlp_cfg,
+        wrapper_dict, bitstream_path=bs_path, qp=qp, lsa=lsa, ioq=ioq,
+        model_executer=ex if (lsa or ioq) else None, scene=scene,
+        mlp_config=mlp_cfg,
         N_iters=n_iters, epochs=epochs, i_save=0, verbose=False,
         use_fused_mlp=use_fused)
     rec = nnc_tpu.decompress(bs_path, verbose=False)
     psnr = ex.test_model(rec)
     nbytes = os.path.getsize(bs_path)
     return {"qp": qp, "lsa": lsa, "bytes": nbytes, "psnr": psnr,
-            "lsa_iters": n_iters, "epochs": epochs, "run_dir": run_dir}
+            "lsa_iters": n_iters, "epochs": epochs,
+            "mode": "ioq" if ioq else "flat", "run_dir": run_dir}
 
 
 def plot_rd(results, out_path):
@@ -83,6 +85,10 @@ def main():
     ap.add_argument("--synthetic", action="store_true",
                     help="use a synthetic teacher scene (no datasets)")
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--ioq", action="store_true",
+                    help="add an inference-optimized per-tensor-QP series "
+                         "(lsa off; ~10 dB above the flat-QP curve at "
+                         "equal rate — BASELINE.md r4)")
     args = ap.parse_args()
 
     from nnc_tpu.models import nerf as nerf_mod
@@ -110,9 +116,13 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     results = []
     for qp in args.qps:
-        for lsa in (False, True):
+        arms = [(False, False), (True, False)]
+        if args.ioq:
+            arms.append((False, True))
+        for lsa, ioq in arms:
             r = run_point(wrapper, scene, mlp_cfg, qp, lsa, args.out,
-                          args.lsa_iters, args.epochs, not args.no_fused)
+                          args.lsa_iters, args.epochs, not args.no_fused,
+                          ioq=ioq)
             print(json.dumps(r))
             results.append(r)
 
