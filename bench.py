@@ -21,11 +21,33 @@ encode/decode throughput of the 4.77 MB NeRFWrapper, and the compression
 ratio.
 """
 import json
+import os
 import time
 
 import numpy as np
 
 CHUNK = 40960
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (mirrors tests/conftest.py).
+
+    Compiles cost 20-60 s per jit shape here and the multi-metric bench
+    compiles many shapes; without a cache a brief tunnel-up window can be
+    burned entirely on recompilation (this happened across the r3/r4
+    outages — VERDICT r4 Weak #2). Cache keys include jaxlib version,
+    flags and HLO, so stale hits are not a concern. The cache can be
+    pre-warmed from a poll loop by running this bench (or the prod jit
+    shapes) once while the tunnel is up."""
+    import jax
+    cache_dir = os.environ.get("NNC_TPU_JAX_CACHE",
+                               os.path.expanduser("~/.cache/nnc_tpu_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jaxlib without the knobs: run uncached
+        pass
 
 
 def bench_render(jax, jnp):
@@ -317,6 +339,7 @@ def _codec_only_record(probe_err: Exception):
     tunnel was down for 7+ hours across the driver run; this keeps the
     host-side metrics recorded (and rc stays non-zero so the degradation
     is unmistakable)."""
+    _enable_compilation_cache()
     import jax
     jax.config.update("jax_platforms", "cpu")  # init_params runs on host
     enc_mbps, dec_mbps, ratio = bench_codec()
@@ -426,6 +449,7 @@ def main():
         _codec_only_record(exc)
         exc.already_recorded = True
         raise
+    _enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
