@@ -62,6 +62,7 @@ def main(args):
         occupancy_renders=args.occupancy_renders,
         occupancy_tuning=args.occupancy_tuning,
         ioq=args.ioq,
+        ioq_codebook=args.ioq_codebook,
         num_workers=args.num_workers,
         render_factor=args.render_factor,
         precrop_iters=args.precrop_iters,
@@ -118,6 +119,12 @@ def build_parser():
                              "(RD win: +7 dB at -21%% bytes vs flat "
                              "qp=-20 on the synthetic teacher; see "
                              "BASELINE.md).")
+    parser.add_argument("--ioq_codebook", type=lambda s: s.lower() in
+                        ("1", "true", "yes"), default=False,
+                        help="With --ioq: also arbitrate uniform-vs-"
+                             "codebook per tensor with the render probe "
+                             "(the tensor-MSE mode-2 choice under-values "
+                             "codebooks at high rate; BASELINE.md r4/r5).")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="Host threads for parallel NDU encode/decode.")
     parser.add_argument("--render_factor", type=int, default=0,

@@ -429,6 +429,34 @@ def encode_param_unit(enc_info, model_info, approx_data, param):
     raise KeyError(f"{param} is not coded in any NDU payload")
 
 
+def encode_units_covering(enc_info, model_info, approx_data, params):
+    """Serialized byte total of every NDU whose payload intersects
+    ``params`` (an iterable of tensor names).
+
+    Method trials (uniform vs codebook) can re-partition a block into a
+    partially-split unit set, changing the framing of OTHER members of the
+    same block — so the IOQ codebook arbitration deltas the whole block's
+    covering units, not a single tensor's NDU (cf. encode_param_unit,
+    which is sound for qp-only trials because those never re-partition)."""
+    wanted = set(params)
+    units = _compile_units(enc_info, model_info, approx_data)
+    total = 0
+    covered = set()
+    for h, names in units:
+        if not names or not (set(names) & wanted):
+            continue
+        payload, ep_lists = _encode_ndu_payload(names, approx_data,
+                                                enc_info, 0)
+        if ep_lists:
+            h["cabac_entry_point_lists"] = ep_lists
+        total += len(syntax.encode_unit(h, payload))
+        covered |= set(names) & wanted
+    missing = wanted - covered
+    if missing:
+        raise KeyError(f"{sorted(missing)} not coded in any NDU payload")
+    return total
+
+
 def encode(enc_info, model_info, approx_data, ndu_oob=None,
            num_workers: int = 0):
     """Serialize model_info + approx_data into a full NNR bitstream.

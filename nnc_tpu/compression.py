@@ -61,6 +61,7 @@ def compress_model(model_path_or_object,
                    cabac_unary_length_minus1=10,
                    opt_qp=False,
                    ioq=False,
+                   ioq_codebook=False,
                    bnf=False,
                    lsa=False,
                    fine_tune=False,
@@ -201,6 +202,7 @@ def compress_model(model_path_or_object,
         cabac_unary_length_minus1=cabac_unary_length_minus1,
         opt_qp=opt_qp,
         ioq=ioq,
+        ioq_codebook=ioq_codebook,
         bnf=bnf,
         lsa=lsa,
         fine_tune=fine_tune,
@@ -236,6 +238,7 @@ def compress(parameter_dict,
              cabac_unary_length_minus1=10,
              opt_qp=False,
              ioq=False,
+             ioq_codebook=False,
              bnf=False,
              lsa=False,
              fine_tune=False,
@@ -308,7 +311,8 @@ def compress(parameter_dict,
         with timer.stage("INFERENCE-BASED QP OPT"):
             approximator.inference_based_qp_opt(
                 ap_info.approx_info, model_info, model_executer, approx_data,
-                param_opt, cabac_unary_length_minus1, verbose)
+                param_opt, cabac_unary_length_minus1, verbose,
+                try_codebook=ioq_codebook)
 
     if lsa or fine_tune:
         with timer.stage("LSA / FINE-TUNE"):

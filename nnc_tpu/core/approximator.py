@@ -467,9 +467,18 @@ def codebook_approx(approx_info, model_info, approx_data_in, param_opt=0,
                     verbose=True):
     """Codebook quantization: uniform-quantize (no DQ), unique values form the
     codebook, indices entropy-coded. mode 1 = always codebook; mode 2 = RD
-    choice vs uniform. (reference: codebook.py:172-325)"""
+    choice vs uniform. (reference: codebook.py:172-325)
+
+    With codebook_mode == 0, ``approx_info["codebook_force"]`` (a set of
+    tensor names, produced by the IOQ codebook arbitration) codebook-codes
+    exactly those tensors, leaving everything else to uniform_approx —
+    a per-tensor method assignment the reference's tensor-MSE mode-2 RD
+    choice cannot express (it under-values codebooks' exactly-representable
+    levels for rendered quality; BASELINE.md r4 companion note)."""
     approx_data_out = {k: copy.copy(v) for k, v in approx_data_in.items()}
     culm1 = approx_info["cabac_unary_length_minus1"]
+    force = approx_info.get("codebook_force") \
+        if approx_info["codebook_mode"] == 0 else None
 
     def _prepare(param):
         """Quantize + codebook stats for one tensor; returns dict of both
@@ -528,6 +537,11 @@ def codebook_approx(approx_info, model_info, approx_data_in, param_opt=0,
                                                 approx_data_in):
         if param in handled:
             continue
+        if force is not None:
+            if param not in force:
+                continue
+            _select_codebook(param, _prepare(param))
+            continue
         # All to_approximate tensors are codebook-eligible, companions
         # (bias/BN/LSA) included (reference: codebook.py:205-208). A block
         # whose companion ends up codebook-coded is split into per-tensor
@@ -585,7 +599,8 @@ def approx(approx_info, model_info, approx_data, param_opt=0, verbose=True,
     """Quantize all eligible tensors with the configured method.
     (reference: approximator:690-701)"""
     approx_data = skip_approx(approx_info, model_info, approx_data)
-    if approx_info["approx_method"] == "codebook":
+    if approx_info["approx_method"] == "codebook" or \
+            approx_info.get("codebook_force"):
         approx_data, approx_info = codebook_approx(
             approx_info, model_info, approx_data, param_opt, verbose=verbose)
     return uniform_approx(approx_info, model_info, approx_data,
@@ -663,7 +678,8 @@ def inference_based_qp_opt(approx_info, model_info, model_executer,
                            approx_data, param_opt, cabac_unary_length_minus1,
                            verbose=True, qp_offsets=(-4, -3, -2, -1,
                                                      1, 2, 3, 4),
-                           force_full=False):
+                           force_full=False, try_codebook=False,
+                           codebook_qp_offsets=(0, 1)):
     """Inference-optimised QP assignment, rate-distortion style.
 
     Mirrors the reference algorithm (reference: approximator:387-600):
@@ -681,7 +697,24 @@ def inference_based_qp_opt(approx_info, model_info, model_executer,
     re-encoded (``coder.encode_param_unit``), with the rest of the size and
     reconstruction carried over. Per-tensor quantization, NDU framing and
     reconstruction are independent, so the decisions are identical to the
-    full re-measure (equivalence-tested); cost drops from O(N) encodes per
+    full re-measure (equivalence-tested).
+
+    ``try_codebook=True`` (delta mode only) additionally arbitrates
+    uniform-vs-codebook per tensor with the SAME inference probe and
+    lambda: each refined tensor is also trialled codebook-coded at
+    ``qp + off`` for off in ``codebook_qp_offsets`` (and at its accepted
+    refined qp). The reference's codebook_mode=2 decides by coded bytes at
+    tensor-MSE-equivalent QPs (codebook.py:267-319), which measurably
+    under-values codebooks' exactly-representable levels for rendered
+    quality (BASELINE.md r4: forced codebook is ~2 dB above the flat RD
+    curve at qp=-30 yet mode 2 picks uniform everywhere); arbitrating with
+    the task probe captures that. Accepted tensors are recorded in
+    ``approx_info["codebook_force"]``, which the final approx() honors.
+    A method switch can re-partition a block's NDUs (partial split),
+    changing sibling framing — so codebook trials delta the whole block's
+    covering units (coder.encode_units_covering), not a single NDU.
+
+    Cost drops from O(N) encodes per
     trial to O(1). ``force_full=True`` keeps the reference's full
     re-measure (also used when the approx method is not uniform)."""
     from .. import coder as _coder
@@ -763,6 +796,59 @@ def inference_based_qp_opt(approx_info, model_info, model_executer,
         acc = acc[0] if isinstance(acc, (tuple, list)) else acc
         return size, float(acc), (trial_adq, trial_params)
 
+    def _block_members(p):
+        """Every coded tensor sharing p's block (p itself if block-less)."""
+        def base(x):
+            if (x.endswith("_G") or x.endswith("_H")) and \
+                    x[:-2] in model_info["parameter_type"]:
+                return x[:-2]
+            return x
+        bid = model_info["block_identifier"].get(base(p))
+        if bid is None:
+            return {p}
+        return {x for x in approx_data["parameters"]
+                if model_info["block_identifier"].get(base(x)) == bid}
+
+    def try_codebook_delta(p, qp_val):
+        """Measure (size, acc, state) for p codebook-coded at approx_info-qp
+        ``qp_val`` (DQ compensation applied exactly as codebook_approx's
+        _prepare does, so the final approx() reproduces this trial)."""
+        qp_off = 0
+        if int(approx_info["dq_flag"][p]) == 1:
+            qp_off = common.compute_qp_offset_to_dq_equivalent(
+                int(approx_data["qp_density"]))
+        q, qp_out = _quant_one(approx_info, approx_data, p, 0,
+                               int(qp_val) - qp_off)
+        cb, idx = derive_sorted_codebook_from_tensor(q)
+        culm1 = approx_info["cabac_unary_length_minus1"]
+        cb, idx, cb_off = get_codebook_offset(cb, idx, culm1)
+        egk, _ = get_best_egk(cb, cb_off)
+        trial_adq = dict(cur_adq)
+        trial_adq["parameters"] = dict(cur_adq["parameters"], **{p: idx})
+        trial_adq["qp"] = dict(cur_adq["qp"], **{p: qp_out})
+        trial_adq["approx_method"] = dict(cur_adq["approx_method"],
+                                          **{p: "codebook"})
+        trial_adq["dq_flag"] = dict(cur_adq["dq_flag"], **{p: 0})
+        trial_adq["codebooks"] = dict(cur_adq.get("codebooks", {}),
+                                      **{p: cb})
+        trial_adq["codebook_zero_offsets"] = dict(
+            cur_adq.get("codebook_zero_offsets", {}), **{p: cb_off})
+        trial_adq["codebooks_egk"] = dict(cur_adq.get("codebooks_egk", {}),
+                                          **{p: egk})
+        members = _block_members(p)
+        size = cur_size \
+            - _coder.encode_units_covering(enc_info, model_info, cur_adq,
+                                           members) \
+            + _coder.encode_units_covering(enc_info, model_info, trial_adq,
+                                           members)
+        step = common.get_stepsize_from_qp(int(qp_out),
+                                           int(approx_data["qp_density"]))
+        recon = np.float32((cb * step)[idx + cb_off])
+        trial_params = dict(cur_rec, **{p: recon})
+        acc = model_executer.eval_model(trial_params, verbose=False)
+        acc = acc[0] if isinstance(acc, (tuple, list)) else acc
+        return size, float(acc), (trial_adq, trial_params)
+
     for p in by_size[1:]:  # the largest tensor stays at the global QP
         if use_delta and cur_adq["approx_method"].get(p) != "uniform":
             continue  # e.g. integer-skip: qp changes are no-ops
@@ -784,8 +870,29 @@ def inference_based_qp_opt(approx_info, model_info, model_executer,
                 if verbose:
                     print(f"\tIOQ: {p} qp -> {qp_enc} "
                           f"(cost {cost:.6f}, {size} bytes, acc {acc})")
+        if not (try_codebook and use_delta) or \
+                p.endswith("_G") or p.endswith("_H"):
+            # DC pairs share one codebook_present_flag; a per-tensor method
+            # trial on one half could produce an unencodable unit — skip
+            continue
+        cb_qps = {int(approx_info["qp"][p]) + off
+                  for off in codebook_qp_offsets}
+        cb_qps.add(int(best_info["qp"][p]))  # the accepted refined qp
+        for qp_val in sorted(cb_qps):
+            size, acc, state = try_codebook_delta(p, qp_val)
+            cost = (ref_acc - acc) + lamb * (size - ref_size)
+            if cost < best_cost:
+                best_cost = cost
+                best_info["qp"][p] = int(qp_val)
+                best_info.setdefault("codebook_force", set()).add(p)
+                cur_adq, cur_rec = state
+                cur_size = size
+                if verbose:
+                    print(f"\tIOQ: {p} -> codebook at qp {qp_val} "
+                          f"(cost {cost:.6f}, {size} bytes, acc {acc})")
     approx_info.clear()
     approx_info.update(best_info)
+    return {"size": cur_size, "acc_ref": ref_acc} if use_delta else None
 
 
 class ApproxInfo:

@@ -128,3 +128,29 @@ def test_scaled_conv2d_preserves_padding_mode():
                              "bias": wrapped[0].bias})
         x = torch.randn(2, 3, 8, 8)
         torch.testing.assert_close(wrapped(x), ref(x))
+
+
+def test_ndc_teacher_scene_self_consistent():
+    """The forward-facing NDC teacher (LLFF-geometry analog) renders its
+    own training images back at near-lossless PSNR through the executer's
+    NDC path (NDCBatcher + warped test renders)."""
+    import numpy as np
+    from nnc_tpu.data import synthetic
+    from nnc_tpu.framework.executer import NeRFModelExecuter
+    from nnc_tpu.models import nerf
+    from nnc_tpu.render import renderer
+
+    mlp = nerf.NeRFConfig(W=16)
+    scene, (tc, tf_) = synthetic.make_scene_ndc(n_images=2, H=8, W=8,
+                                                mlp=mlp)
+    assert scene["ndc"] and scene["near"] == 0.0 and scene["far"] == 1.0
+    assert np.isfinite(scene["images"]).all()
+    rc = renderer.RenderConfig(mlp=mlp, n_samples=16, n_importance=8,
+                               chunk=64)
+    ex = NeRFModelExecuter(scene, rc, n_iters=2, i_save=0, n_rand=32,
+                           verbose=False)
+    sd = {}
+    sd.update(nerf.params_to_state_dict(tc, "model."))
+    sd.update(nerf.params_to_state_dict(tf_, "model_fine."))
+    assert ex.test_model(sd) > 60.0
+    assert ex.eval_model(sd)[0] > 60.0

