@@ -81,9 +81,22 @@ def shard_multi_scene(mesh: Mesh, stacked_params, stacked_scales, rays):
             tuple(jax.device_put(jnp.asarray(r), p_rays) for r in rays))
 
 
+def key_schedule(seed, n_iters, n_scenes):
+    """The per-iteration per-scene PRNG keys tune_multi_scene consumes.
+
+    Exposed so an independent per-scene run can replay the exact schedule of
+    a joint run (the joint-vs-sequential equivalence bar)."""
+    key = jax.random.PRNGKey(seed)
+    sched = []
+    for _ in range(n_iters):
+        key, *subs = jax.random.split(key, n_scenes + 1)
+        sched.append(subs)
+    return sched
+
+
 def tune_multi_scene(scenes, params_list, scales_list, rc, *, batchers,
                      learning_rate=1e-4, n_iters=100, mesh=None, seed=0,
-                     verbose=True):
+                     verbose=True, key_schedule=None):
     """Joint LSA over S scenes. params_list/scales_list: per-scene
     (params_c, params_f) / (ls_c, ls_f). Returns tuned per-scene scales and
     final per-scene PSNR proxies."""
@@ -137,7 +150,10 @@ def tune_multi_scene(scenes, params_list, scales_list, rc, *, batchers,
             p_rays = NamedSharding(mesh, P("scene", "data"))
             ro, rd, tgt = (jax.device_put(jnp.asarray(a), p_rays)
                            for a in (ro, rd, tgt))
-        key, *subs = jax.random.split(key, S + 1)
+        if key_schedule is not None:
+            subs = key_schedule[it]
+        else:
+            key, *subs = jax.random.split(key, S + 1)
         scales, opt_state, loss, last_il = step(
             scales, opt_state, params, ro, rd, tgt, jnp.stack(subs))
     psnrs = [mse2psnr(float(m)) for m in np.asarray(last_il)]
