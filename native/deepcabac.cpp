@@ -827,9 +827,20 @@ static void encode_layer_impl(Encoder& E, const int32_t* v, int64_t h,
       if (c > 0) est.reset_chunk(E.unary_len);
       const int64_t r0 = c * bh;
       const int64_t r1 = std::min(h, r0 + bh);
+      // profile selection saturates long before the full walk: the
+      // adaptation shifts are 2..8, so the per-profile probability
+      // trajectories (and their cost gaps) are established within a few
+      // thousand bins. Score a PREFIX of each chunk — the context
+      // evolution over the walked region is exactly the full walk's, only
+      // truncated — capped at max(16384, n/4) elements. Encoder-side
+      // heuristic only: a different pick would still be a valid
+      // bitstream, and the golden-fixture tests pin that the pick (and
+      // therefore every byte) is unchanged on real tensors.
+      const int64_t n = (r1 - r0) * w;
+      const int64_t m = n <= 16384 ? n : std::max<int64_t>(16384, n >> 2);
       int state = 0;
       int prev_sig = 0;
-      for (int64_t i = r0 * w; i < r1 * w; ++i) {
+      for (int64_t i = r0 * w; i < r0 * w + m; ++i) {
         const int32_t q = v[i];
         est.value(q, sig_ctx_of(dq_flag, state, prev_sig), E.unary_len);
         prev_sig = q != 0;

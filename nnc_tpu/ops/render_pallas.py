@@ -38,13 +38,6 @@ from .mlp_pallas import _mlp_body_pts, _pack_weights
 # must stay multiples of 16 sublanes (4-row ref slices miscompile on Mosaic),
 # so R_TILE is a multiple of 32.
 R_TILE = 32
-
-# A/B override for the in-kernel pts/dirs construction gate (None = default:
-# on for 128-multiple ray tiles only). Sub-128 tiles support a padded
-# in-kernel layout that is gated off pending a TPU measurement (see the
-# inkernel_pts comment in fused_render_pass); tools/tpu_experiments_r4.py
-# sets this to True to A/B the exact path without editing the gate.
-FORCE_INKERNEL_PTS = None
 S_BLK = 32
 
 _W_ORDER = ["w0", "w1", "w2", "w3", "w4", "w5a", "w5b", "w6", "w7",
@@ -92,11 +85,8 @@ def _composite_block(raw, dists_blk, z_blk, csd_in, h, s):
     return maps_add, w, excl[:, s - 1:s] + sd[:, s - 1:s]
 
 
-def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True,
-                 inkernel_pts=False):
-    def kernel(work_ref, ptsdir_ref, *refs):
-        if inkernel_pts:
-            rays_ref, refs = refs[0], refs[1:]
+def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True):
+    def kernel(work_ref, ptsdir_ref, rays_ref, *refs):
         n_out = 4 if want_weights else 3
         mlp_refs = refs[:-n_out]
         maps_ref = refs[-n_out]
@@ -128,32 +118,22 @@ def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True,
         @pl.when(active)
         def _():
             half = r_t // 2
-            # input arrives transposed (8, r_t*s_blk) — lane-dense in HBM
-            # (a (T, 8) block pads 8 -> 128 lanes and costs 16x the DMA
-            # bytes; measured ~0.6 ms/frame at the bench operating point).
-            # One in-kernel transpose restores the samples-major layout.
-            # Rows 6/7 carry z and dists (the MLP only reads cols 0:6), so
-            # the 16x-lane-padded block-major z/dists arrays and their
-            # per-block DMAs are gone entirely.
-            if inkernel_pts:
-                # (2, q) z/dists block + per-tile (16, r_t) ray block; the
-                # pts = o + d*z FMA and the per-ray -> per-sample broadcast
-                # (an interleaved sublane jnp.repeat — works on Mosaic) run
-                # in-kernel, cutting the XLA producer's (8, M) HBM array to
-                # (2, M): the 6 pts/dir rows were 1.8 ms/frame of
-                # producer writes at the bench operating point.
-                x2 = ptsdir_ref[:].T                      # (q, 2)
-                z_blk = x2[:, 0].reshape(r_t, s_blk)
-                dists_blk = x2[:, 1].reshape(r_t, s_blk)
-                # ray block lanes are padded up to 128 for sub-128 tiles;
-                # only the first r_t rays are real
-                rep = jnp.repeat(rays_ref[:].T[:r_t], s_blk, axis=0)
-                pts = rep[:, 0:3] + rep[:, 3:6] * x2[:, 0:1]  # (q, 16)
-                x8 = jnp.concatenate([pts, rep[:, 6:9]], axis=1)
-            else:
-                x8 = ptsdir_ref[:].T
-                z_blk = x8[:, 6].reshape(r_t, s_blk)
-                dists_blk = x8[:, 7].reshape(r_t, s_blk)
+            # input arrives transposed (2, r_t*s_blk) [z, dists] — lane-
+            # dense in HBM (a (T, k) block pads k -> 128 lanes and costs
+            # 16x the DMA bytes) — plus a per-tile (16, lane) ray block.
+            # One in-kernel transpose restores the samples-major layout;
+            # the pts = o + d*z FMA and the per-ray -> per-sample broadcast
+            # (an interleaved sublane jnp.repeat — works on Mosaic) run
+            # in-kernel: the XLA producer's 6 expanded pts/dir rows were
+            # 1.8 ms/frame of HBM writes at the bench operating point.
+            x2 = ptsdir_ref[:].T                      # (q, 2)
+            z_blk = x2[:, 0].reshape(r_t, s_blk)
+            dists_blk = x2[:, 1].reshape(r_t, s_blk)
+            # ray block lanes are padded up to a 128 multiple; only the
+            # first r_t rays are real
+            rep = jnp.repeat(rays_ref[:].T[:r_t], s_blk, axis=0)
+            pts = rep[:, 0:3] + rep[:, 3:6] * x2[:, 0:1]  # (q, 16)
+            x8 = jnp.concatenate([pts, rep[:, 6:9]], axis=1)
             # two independent half-tile chains interleave MXU/VPU work
             raw0 = _mlp_body_pts(x8[:half * s_blk], mlp_refs, dtype)
             raw1 = _mlp_body_pts(x8[half * s_blk:], mlp_refs, dtype)
@@ -188,9 +168,10 @@ def _make_kernel(r_t, s_blk, n_j, term_csd, want_weights=True,
                                     "interpret", "want_weights"))
 def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
                           r_t, s_blk, term_csd, interpret=False,
-                          want_weights=True, rays16=None):
-    # ptsdir arrives transposed (8, M) with block-major samples on lanes;
-    # rows 6/7 carry z and dists. ``work``: per-(i, j) flags (see
+                          want_weights=True, *, rays16):
+    # ptsdir arrives transposed (2, M) [z, dists] with block-major samples
+    # on lanes; rays16 is the per-tile padded (16, n_i*lane) ray block the
+    # kernel expands pts/dirs from. ``work``: per-(i, j) flags (see
     # fused_render_pass). Dead blocks get their input indices remapped to
     # block 0 below, so runs of skipped grid steps (empty tiles cluster at
     # the end after the count sort; all-masked trailing blocks cluster per
@@ -206,24 +187,19 @@ def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
         base = i * _nj + j
         return (0, jnp.where(w[base] != 0, base, 0))
 
-    inkernel_pts = rays16 is not None
     in_specs = [
         # lane blocks of r_t*s_blk are 128-divisible (Mosaic requires
         # lane blocks to be 128-divisible or whole-array)
-        pl.BlockSpec((2 if inkernel_pts else 8, r_t * s_blk), remap_T,
-                     memory_space=pltpu.VMEM),
-    ]
-    if inkernel_pts:
+        pl.BlockSpec((2, r_t * s_blk), remap_T, memory_space=pltpu.VMEM),
         # per-tile ray block (constant across j; dead steps remap to tile 0
         # like the sample blocks, so skipped runs elide the DMA). Lane
-        # blocks must be 128-divisible, so sub-128 tiles arrive padded to
-        # 128 lanes per tile (the caller builds rays16 accordingly).
-        lane = r_t if r_t % 128 == 0 else 128
-
-        def remap_rays(i, j, w, _nj=n_j):
-            return (0, jnp.where(w[i * _nj + j] != 0, i, 0))
-        in_specs.append(pl.BlockSpec((16, lane), remap_rays,
-                                     memory_space=pltpu.VMEM))
+        # blocks must be 128-divisible, so non-128-multiple tiles arrive
+        # padded to the next multiple (the caller builds rays16 so).
+        pl.BlockSpec((16, ((r_t + 127) // 128) * 128),
+                     lambda i, j, w, _nj=n_j:
+                         (0, jnp.where(w[i * _nj + j] != 0, i, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
     in_specs += [full(packed[k]) for k in _W_ORDER]
     in_specs += [full(biases[k]) for k in _B_ORDER]
 
@@ -250,8 +226,7 @@ def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
         ],
     )
     outs = pl.pallas_call(
-        _make_kernel(r_t, s_blk, n_j, term_csd, want_weights,
-                     inkernel_pts=inkernel_pts),
+        _make_kernel(r_t, s_blk, n_j, term_csd, want_weights),
         grid_spec=grid_spec,
         out_shape=(maps_shape, w_shape) if want_weights else (maps_shape,),
         interpret=interpret,
@@ -263,8 +238,7 @@ def _fused_render_et_call(packed, biases, work, ptsdir, n_i, s,
             flops=2 * n_rays * s * 600_000,
             bytes_accessed=n_rays * s * 44,
             transcendentals=n_rays * s * 90),
-    )(work, ptsdir,
-      *(() if rays16 is None else (rays16,)),
+    )(work, ptsdir, rays16,
       *[packed[k] for k in _W_ORDER], *[biases[k] for k in _B_ORDER])
     if not want_weights:
         return outs[0], None
@@ -351,39 +325,21 @@ def fused_render_pass(params, ls, rays_o, rays_d, viewdirs, z_vals,
     # ray block — the HBM input shrinks from (8, M) to (2, M) [z, dists]
     # and the producer's 6 expanded pts/dir rows (~1.8 ms/frame of XLA
     # writes at the bench operating point) disappear. Lane blocks must be
-    # 128-divisible, so sub-128 tiles (the exact path's 64-wide default)
-    # pad each tile's rays to 128 lanes; tiles above 128 that aren't
-    # multiples keep the legacy 8-row layout.
-    # sub-128 tiles support the padded in-kernel layout too (see below)
-    # but stay on the legacy 8-row path until it measures faster on TPU:
-    # the in-kernel FMA rounds pts slightly differently (1e-5-level map
-    # jitter vs the XLA producer), so flipping exact-path numerics needs a
-    # perf justification.
-    inkernel_pts = (r_t % 128 == 0) if FORCE_INKERNEL_PTS is None \
-        else bool(FORCE_INKERNEL_PTS)
-    if inkernel_pts:
-        ptsdir = jnp.stack([z_q, dists_q]).reshape(2, n_sample)
-        r9t = jnp.concatenate([rays_o, rays_d, viewdirs], axis=1)
-        if r_t % 128 != 0:
-            r9t = jnp.pad(r9t.reshape(n_i, r_t, 9),
-                          ((0, 0), (0, 128 - r_t), (0, 0))) \
-                .reshape(n_i * 128, 9)
-        rays16 = jnp.concatenate(
-            [r9t.T, jnp.zeros((7, r9t.shape[0]), jnp.float32)], axis=0)
-    else:
-        def expand(col):   # (n_pad,) per-ray value -> (n_i, n_j, q)
-            cq = jnp.repeat(col.reshape(n_i, r_t), s_blk, axis=1)
-            return jnp.broadcast_to(cq[:, None, :], (n_i, n_j, q))
-
-        rows = [expand(rays_o[:, d]) + expand(rays_d[:, d]) * z_q
-                for d in range(3)]
-        rows += [expand(viewdirs[:, d]) for d in range(3)]
-        # rows 6/7 carry z and dists into the kernel (the MLP reads only
-        # cols 0:6 after the in-kernel transpose) — no separate
-        # 16x-lane-padded block-major arrays, no extra per-block DMAs
-        rows += [z_q, dists_q]
-        ptsdir = jnp.stack(rows).reshape(8, n_sample)
-        rays16 = None
+    # 128-divisible, so tiles that aren't 128-multiples pad each tile's
+    # rays up to the next multiple. Resolved unconditional in round 5: the
+    # TPU A/B (tools/tpu_experiments_r4.py Part 2) measured the padded
+    # sub-128 arm byte-identical in output and neutral in time at the
+    # exact path's r_t=64 (64.86 vs 64.89 ms/40960-chunk), so the legacy
+    # XLA 8-row producer is gone.
+    ptsdir = jnp.stack([z_q, dists_q]).reshape(2, n_sample)
+    r9t = jnp.concatenate([rays_o, rays_d, viewdirs], axis=1)
+    lane = ((r_t + 127) // 128) * 128
+    if lane != r_t:
+        r9t = jnp.pad(r9t.reshape(n_i, r_t, 9),
+                      ((0, 0), (0, lane - r_t), (0, 0))) \
+            .reshape(n_i * lane, 9)
+    rays16 = jnp.concatenate(
+        [r9t.T, jnp.zeros((7, r9t.shape[0]), jnp.float32)], axis=0)
 
     if ray_flags is None:
         flags = jnp.ones((n_i,), jnp.int32)

@@ -64,11 +64,12 @@ class RenderConfig:
     # the fast mode's own rendering deviation
     use_occupancy_tuning: bool = False
     # fast-mode kernel tiles differ from the exact path's: the per-ray
-    # sample budget is small (16 vs 192), so tiny sample blocks (fine
+    # sample budget is small (16 vs 192), so small sample blocks (fine
     # skip granularity for trailing all-masked blocks) and wide ray tiles
-    # (fewer grid steps) win; 128x8 benched best on v5e
+    # (fewer grid steps) win; r5 sweep on v5e: 128x16 9.51M rays/s vs
+    # 128x8 9.33M, 256x16 8.85M, 384x8 8.82M (identical rgbsum)
     occ_ray_tile: int = 128
-    occ_sample_block: int = 8
+    occ_sample_block: int = 16
 
 
 def _query_mlp(params, ls, pts, viewdirs, rc: RenderConfig,

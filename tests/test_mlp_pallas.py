@@ -89,8 +89,9 @@ def _reference_pass(params, ro, rd, vd, z, mlp):
 
 
 def test_fused_render_pass_matches_raw2outputs_interpret():
-    """Grid-based MLP+compositing kernel, early termination off: exact
-    against the XLA raw2outputs (up to the documented 1e-10 epsilon)."""
+    """Grid-based MLP+compositing kernel, early termination off: matches
+    the XLA raw2outputs within the in-kernel pts FMA's rounding (the
+    kernel reassociates o + d*z per sample; ~1e-5-level map jitter)."""
     from nnc_tpu.ops.render_pallas import fused_render_pass
 
     mlp, params, ro, rd, vd, z = _render_fixture(32, 32)
@@ -98,8 +99,11 @@ def test_fused_render_pass_matches_raw2outputs_interpret():
                             early_term_eps=0.0)
     ref = _reference_pass(params, ro, rd, vd, z, mlp)
     for k in ("rgb_map", "acc_map", "depth_map", "weights"):
+        # depth = sum(w * z): the weight jitter is amplified by z (~far
+        # plane), so depth needs a proportionally looser bound
+        atol = 1e-4 if k == "depth_map" else 2e-5
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
-                                   atol=1e-5)
+                                   atol=atol, rtol=1e-5)
 
 
 def test_fused_render_pass_multiblock_and_padding():
@@ -270,21 +274,16 @@ def test_renderer_int8_dispatch():
     assert d.max() < 0.1, d.max()
 
 
-def test_fused_render_pass_forced_sub128_inkernel_pts():
-    """FORCE_INKERNEL_PTS=True drives the padded in-kernel pts layout at a
-    sub-128 ray tile (the gated A/B arm, tools/tpu_experiments_r4.py Part
-    2): each 64-ray tile pads to 128 lanes and must match the XLA
-    reference within the in-kernel FMA's rounding."""
-    from nnc_tpu.ops import render_pallas
+def test_fused_render_pass_sub128_inkernel_pts():
+    """Sub-128 ray tiles use the padded in-kernel pts layout (unconditional
+    since round 5: the TPU A/B measured it byte-identical and neutral at
+    the exact path's r_t=64): each 64-ray tile pads to 128 lanes and must
+    match the XLA reference within the in-kernel FMA's rounding."""
     from nnc_tpu.ops.render_pallas import fused_render_pass
 
     mlp, params, ro, rd, vd, z = _render_fixture(96, 16)
-    render_pallas.FORCE_INKERNEL_PTS = True
-    try:
-        out = fused_render_pass(params, None, ro, rd, vd, z, mlp,
-                                early_term_eps=0.0, r_t=64, s_blk=8)
-    finally:
-        render_pallas.FORCE_INKERNEL_PTS = None
+    out = fused_render_pass(params, None, ro, rd, vd, z, mlp,
+                            early_term_eps=0.0, r_t=64, s_blk=8)
     ref = _reference_pass(params, ro, rd, vd, z, mlp)
     for k in ("rgb_map", "acc_map", "weights"):
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),

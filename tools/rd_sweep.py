@@ -25,7 +25,8 @@ honor_jax_platforms_env()
 
 
 def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,
-              epochs, use_fused, ioq=False, ioq_codebook=False):
+              epochs, use_fused, ioq=False, ioq_codebook=False,
+              scene_name="synthetic"):
     import nnc_tpu
     from nnc_tpu.train.presets import create_nerf_model_executer, \
         make_render_config
@@ -50,11 +51,22 @@ def run_point(wrapper_dict, scene, mlp_cfg, qp, lsa, out_dir, n_iters,
     rec = nnc_tpu.decompress(bs_path, verbose=False)
     psnr = ex.test_model(rec)
     nbytes = os.path.getsize(bs_path)
-    return {"qp": qp, "lsa": lsa, "bytes": nbytes, "psnr": psnr,
+    extra = {}
+    holdout = scene.get("i_holdout")
+    if holdout is not None and len(holdout):
+        # probe-overfit check (VERDICT r4 Weak #3): the IOQ search only
+        # ever sees i_train ray batches (eval_model) — render poses that
+        # neither the probe nor the headline PSNR (i_test) used, so a
+        # search that overfits its pose selection shows up as a
+        # flat-vs-ioq gap that shrinks on the holdout set.
+        pc, pf, lc, lf = ex._split_params(rec)
+        _, ps = ex._render_views(pc, pf, lc, lf, holdout)
+        extra["psnr_holdout"] = float(np.mean(ps))
+    return {"qp": qp, "lsa": lsa, "bytes": nbytes, "psnr": psnr, **extra,
             "lsa_iters": n_iters, "epochs": epochs,
             "mode": ("ioq+cb" if (ioq and ioq_codebook)
                      else "ioq" if ioq else "flat"),
-            "run_dir": run_dir}
+            "scene": scene_name, "run_dir": run_dir}
 
 
 def plot_rd(results, out_path):
@@ -100,6 +112,11 @@ def main():
                     help="add an IOQ series with probe-arbitrated per-"
                          "tensor uniform-vs-codebook method choice "
                          "(mode 'ioq+cb')")
+    ap.add_argument("--holdout-views", type=int, default=0,
+                    help="synthetic scenes only: render N extra teacher "
+                         "poses never seen by the probe or i_test and "
+                         "record psnr_holdout per point (probe-overfit "
+                         "check)")
     args = ap.parse_args()
 
     from nnc_tpu.models import nerf as nerf_mod
@@ -111,10 +128,16 @@ def main():
         maker = synthetic.make_scene_ndc if args.synthetic_ndc \
             else synthetic.make_scene
         scene, (tc, tf_) = maker(
-            n_images=4, H=32, W=32, mlp=mlp_cfg,
+            n_images=4 + args.holdout_views, H=32, W=32, mlp=mlp_cfg,
             rc=renderer.RenderConfig(mlp=mlp_cfg, n_samples=32,
                                      n_importance=16, chunk=1024))
         scene["n_importance"] = 16
+        if args.holdout_views:
+            # keep the standard 3-train/1-test split; the extra teacher
+            # views become a pure holdout set (never probed, never tested)
+            scene["i_train"] = np.arange(3)
+            scene["i_test"] = np.array([3])
+            scene["i_holdout"] = np.arange(4, 4 + args.holdout_views)
         wrapper = {}
         wrapper.update(nerf_mod.params_to_state_dict(tc, "model."))
         wrapper.update(nerf_mod.params_to_state_dict(tf_, "model_fine."))
@@ -134,10 +157,13 @@ def main():
             arms.append((False, True, False))
         if args.ioq_codebook:
             arms.append((False, True, True))
+        scene_name = ("synthetic_ndc" if args.synthetic_ndc
+                      else "synthetic" if args.synthetic else args.dataset)
         for lsa, ioq, ioq_cb in arms:
             r = run_point(wrapper, scene, mlp_cfg, qp, lsa, args.out,
                           args.lsa_iters, args.epochs, not args.no_fused,
-                          ioq=ioq, ioq_codebook=ioq_cb)
+                          ioq=ioq, ioq_codebook=ioq_cb,
+                          scene_name=scene_name)
             print(json.dumps(r))
             results.append(r)
 

@@ -97,9 +97,12 @@ try:
     CH = 40960
     roc = jnp.asarray(ro_hw.reshape(-1,3)[:CH]); rdc = jnp.asarray(rd_hw.reshape(-1,3)[:CH])
     key = jax.random.PRNGKey(0)
-    from nnc_tpu.ops import render_pallas
-    for rt, force in ((64, None), (64, True), (128, None)):
-        render_pallas.FORCE_INKERNEL_PTS = force
+    # RESOLVED (r5, 2026-08-19 TPU run): r_t=64 631K > r_t=128 569K rays/s;
+    # forced sub-128 in-kernel pts byte-identical + neutral (64.86 vs
+    # 64.89 ms) -> FORCE_INKERNEL_PTS gate and legacy 8-row producer
+    # deleted; in-kernel pts is unconditional now. This part re-measures
+    # the tile choice only.
+    for rt in (64, 128):
         rc = renderer.RenderConfig(
             mlp=mlp, n_samples=64, n_importance=128, white_bkgd=True,
             chunk=CH, use_fused_mlp=True, use_fused_compositing=True,
@@ -111,15 +114,9 @@ try:
         for _ in range(N): out = run()
         s = float(np.asarray(jnp.sum(out["rgb_map"])))
         dt=(time.perf_counter()-t0)/N
-        print(f"r_t={rt:4d} force_ik={force}: {dt*1e3:7.2f} ms/chunk  ({CH/dt/1e3:.0f}K rays/s)  rgbsum={s:.2f}", flush=True)
+        print(f"r_t={rt:4d}: {dt*1e3:7.2f} ms/chunk  ({CH/dt/1e3:.0f}K rays/s)  rgbsum={s:.2f}", flush=True)
 except Exception:
     traceback.print_exc()
-finally:
-    try:
-        from nnc_tpu.ops import render_pallas
-        render_pallas.FORCE_INKERNEL_PTS = None
-    except Exception:
-        pass
 
 # ---------------- Part 3: current fast frame (sanity) ----------------
 try:
