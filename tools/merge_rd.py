@@ -25,12 +25,13 @@ def normalize(rec):
     rec.setdefault("lsa_iters", 500)
     rec.setdefault("epochs", 1)
     rec.setdefault("mode", "flat")  # pre-r4b records: flat global QP
+    rec.setdefault("scene", "synthetic")  # pre-r5 sweeps: one scene only
     return rec
 
 
 def key_of(rec):
     return (int(rec["qp"]), bool(rec["lsa"]), int(rec["lsa_iters"]),
-            int(rec["epochs"]), str(rec["mode"]))
+            int(rec["epochs"]), str(rec["mode"]), str(rec["scene"]))
 
 
 def merge(base, inputs):

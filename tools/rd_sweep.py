@@ -159,6 +159,11 @@ def main():
             arms.append((False, True, True))
         scene_name = ("synthetic_ndc" if args.synthetic_ndc
                       else "synthetic" if args.synthetic else args.dataset)
+        if args.holdout_views:
+            # the extra teacher views change every pose (look_at_poses
+            # depends on n); keep these points distinct from the standard
+            # 4-view scene's
+            scene_name += f"+holdout{args.holdout_views}"
         for lsa, ioq, ioq_cb in arms:
             r = run_point(wrapper, scene, mlp_cfg, qp, lsa, args.out,
                           args.lsa_iters, args.epochs, not args.no_fused,
